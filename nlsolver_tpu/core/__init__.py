@@ -1,0 +1,20 @@
+from .driver import drive, drive_scan
+from .objective import Bounds, Objective, batch_eval, resolve_bounds, signed
+from .result import SolverResult, make_result
+from .utils import clamp, max_abs, std_err, tree_where
+
+__all__ = [
+    "Bounds",
+    "Objective",
+    "SolverResult",
+    "batch_eval",
+    "clamp",
+    "drive",
+    "drive_scan",
+    "make_result",
+    "max_abs",
+    "resolve_bounds",
+    "signed",
+    "std_err",
+    "tree_where",
+]

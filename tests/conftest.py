@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic
+(`shard_map` over a Mesh) is exercised without TPU hardware, mirroring how
+the driver validates `dryrun_multichip`.  Must run before jax is imported.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The env var alone does not beat the preinstalled axon TPU plugin; force CPU
+# explicitly so tests run on the 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")
+
+# Solver literature (and the reference, which is double-only) assumes f64;
+# tests validate numerics in both widths where it matters.
+jax.config.update("jax_enable_x64", True)
+
+# This box has 2 CPUs; XLA compiles dominate test time. Persist them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(42)

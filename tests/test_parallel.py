@@ -1,0 +1,40 @@
+"""Sharded DE over an 8-virtual-device CPU mesh: correctness of the
+collective program and agreement with the problem's known optimum."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlsolver_tpu.parallel import make_mesh, minimize_sharded
+from nlsolver_tpu.problems import PROBLEMS
+from nlsolver_tpu.solvers.de import DEConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8, dp=2, pop=4)
+
+
+def test_sharded_de_converges(mesh, key):
+    p = PROBLEMS["rosenbrock"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=48, max_iter=400)
+    res = minimize_sharded(p.fn, x0, cfg, mesh, keys)
+    assert res.x.shape == (B, 2)
+    dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+    assert float(jnp.max(dists)) <= 0.05, res.x
+
+
+def test_sharded_matches_mesh_layouts(key):
+    # layout invariance: (1,8) vs (4,2)... same keys -> same results
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=16, max_iter=50, best_value_no_change=1000)
+    res_a = minimize_sharded(p.fn, x0, cfg, make_mesh(8, dp=4, pop=2), keys)
+    res_b = minimize_sharded(p.fn, x0, cfg, make_mesh(8, dp=2, pop=4), keys)
+    assert jnp.allclose(res_a.x, res_b.x, atol=1e-12)
+    assert jnp.allclose(res_a.f_value, res_b.f_value, atol=1e-12)

@@ -1,0 +1,54 @@
+"""Oracle sanity: every test function attains (approximately) its known
+minimum value at its known minimizers, and gradients vanish there for the
+smooth ones — the reference relies on the same oracles
+(test_functions.h:50-319)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlsolver_tpu.problems import PROBLEMS
+
+SMOOTH = {
+    "sphere",
+    "rosenbrock",
+    "rastrigin",
+    "beale",
+    "goldstein_price",
+    "himmelblau",
+    "three_hump_camel",
+    "mccormick",
+    "schaffer_n2",
+    "styblinski_tang",
+    "booth",
+    "matyas",
+    "levi_n13",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_minimum_value(name):
+    p = PROBLEMS[name]
+    for m in p.minima:
+        x = jnp.asarray(m, dtype=jnp.float64)
+        val = p.fn(x)
+        assert jnp.isfinite(val)
+        # oracles are quoted to ~4-6 decimals in the reference
+        assert abs(float(val) - p.fmin) < 5e-3, (name, float(val), p.fmin)
+
+
+@pytest.mark.parametrize("name", sorted(SMOOTH))
+def test_gradient_vanishes_at_minimum(name):
+    p = PROBLEMS[name]
+    g = jax.grad(p.fn)(jnp.asarray(p.minima[0], dtype=jnp.float64))
+    assert float(jnp.max(jnp.abs(g))) < 5e-2, (name, g)
+
+
+def test_minima_are_local_minima_by_probe():
+    # random small perturbations should not decrease f at the global minimum
+    key = jax.random.key(0)
+    for name, p in PROBLEMS.items():
+        x = jnp.asarray(p.minima[0], dtype=jnp.float64)
+        f0 = p.fn(x)
+        pert = 1e-3 * jax.random.normal(key, (16, x.shape[0]), dtype=x.dtype)
+        vals = jax.vmap(p.fn)(x[None, :] + pert)
+        assert float(jnp.min(vals)) >= float(f0) - 1e-6, name
