@@ -6,10 +6,13 @@ R-optim-style Boltzmann-annealing sampler:
   * cooling schedule t = T_max / log(iter + e - 1) (nlsolver.h:2792-2793);
   * Gaussian Markov kernel: p_try = p + (t / T_max) * N(0, I)
     (nlsolver.h:2795-2800);
-  * Metropolis acceptance against the best value seen so far
-    (``difference = f(p_try) - best_val``, a reference quirk kept for
-    behavioral parity; nlsolver.h:2803-2804): accept when difference <= 0 or
-    U < exp(-difference / t);
+  * standard Metropolis acceptance against the CURRENT chain value:
+    accept when f(p_try) <= f(p) or U < exp(-(f(p_try) - f(p)) / t).
+    The reference compares against the best value seen so far instead
+    (nlsolver.h:2803-2804), which permanently freezes the chain once it
+    random-walks into a high-energy region (nothing near a bad point beats
+    the global best, so every proposal is rejected forever); set
+    ``metropolis_vs_best=True`` for parity with that behavior;
   * ``temperature_iter - 1`` inner proposals per outer iteration (the
     reference's inner loop runs j = 1 .. temperature_iter-1,
     nlsolver.h:2794), terminating only on max_iter (nlsolver.h:2787).
@@ -44,10 +47,12 @@ class SANNConfig:
     max_iter: int = 5000
     temperature_iter: int = 10
     temperature_max: float = 10.0
+    metropolis_vs_best: bool = False  # reference-parity quirk (see module doc)
 
 
 class SANNState(NamedTuple):
     p: jax.Array            # current Markov-chain point
+    f_p: jax.Array          # objective at p
     x_best: jax.Array       # best point seen
     best_value: jax.Array
     iteration: jax.Array
@@ -64,6 +69,7 @@ def init(fn: Objective, x0: jax.Array, config: SANNConfig, key: jax.Array) -> SA
     val = fn(x0)
     return SANNState(
         p=x0,
+        f_p=val,
         x_best=x0,
         best_value=val,
         iteration=jnp.int32(0),
@@ -87,29 +93,32 @@ def step(fn: Objective, state: SANNState, config: SANNConfig) -> SANNState:
     scale = t / config.temperature_max
 
     def proposal(carry, k):
-        p, x_best, best_value = carry
+        p, f_p, x_best, best_value = carry
         k_step, k_accept = jax.random.split(k)
         p_try = p + scale * jax.random.normal(k_step, (n,), dtype)
         val = fn(p_try)
-        diff = val - best_value
+        anchor = best_value if config.metropolis_vs_best else f_p
+        diff = val - anchor
         u = jax.random.uniform(k_accept, (), dtype=dtype)
         accept = (diff <= 0.0) | (u < jnp.exp(-diff / t))
         p = jnp.where(accept, p_try, p)
+        f_p = jnp.where(accept, val, f_p)
         better = accept & (val <= best_value)
         x_best = jnp.where(better, p_try, x_best)
         best_value = jnp.where(better, val, best_value)
-        return (p, x_best, best_value), None
+        return (p, f_p, x_best, best_value), None
 
     n_inner = config.temperature_iter - 1
     key, k_inner = jax.random.split(state.key)
-    (p, x_best, best_value), _ = lax.scan(
+    (p, f_p, x_best, best_value), _ = lax.scan(
         proposal,
-        (state.p, state.x_best, state.best_value),
+        (state.p, state.f_p, state.x_best, state.best_value),
         jax.random.split(k_inner, n_inner),
     )
 
     worked = SANNState(
         p=p,
+        f_p=f_p,
         x_best=x_best,
         best_value=best_value,
         iteration=state.iteration + 1,
