@@ -1,3 +1,3 @@
-from . import de, nelder_mead
+from . import bfgs, cgd, de, gd, lm, nelder_mead, pso, sann
 
-__all__ = ["de", "nelder_mead"]
+__all__ = ["bfgs", "cgd", "de", "gd", "lm", "nelder_mead", "pso", "sann"]
