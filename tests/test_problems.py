@@ -51,4 +51,7 @@ def test_minima_are_local_minima_by_probe():
         f0 = p.fn(x)
         pert = 1e-3 * jax.random.normal(key, (16, x.shape[0]), dtype=x.dtype)
         vals = jax.vmap(p.fn)(x[None, :] + pert)
-        assert float(jnp.min(vals)) >= float(f0) - 1e-6, name
+        # oracles are quoted to ~4-6 decimals (e.g. eggholder's (512, 404.2319)),
+        # so tiny decreases below the quoted point are expected
+        slack = 1e-6 + 1e-4 * abs(float(f0))
+        assert float(jnp.min(vals)) >= float(f0) - slack, name
