@@ -27,21 +27,12 @@ _METHODS = {}
 
 
 def _register():
-    from .solvers import de, nelder_mead
+    import importlib
 
-    _METHODS.update(
-        {
-            "nelder_mead": nelder_mead,
-            "de": de,
-        }
-    )
-    try:
-        from .solvers import pso
-
-        _METHODS["pso"] = pso
-    except ImportError:
-        pass
     for name in (
+        "nelder_mead",
+        "de",
+        "pso",
         "sann",
         "nmpso",
         "gd",
@@ -52,8 +43,6 @@ def _register():
         "cmaes",
     ):
         try:
-            import importlib
-
             _METHODS[name] = importlib.import_module(f".solvers.{name}", __package__)
         except ImportError:
             pass

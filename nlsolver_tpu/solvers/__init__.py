@@ -1,3 +1,14 @@
-from . import bfgs, cgd, de, gd, lm, nelder_mead, pso, sann
+from . import bfgs, brent, cgd, de, gd, lm, nelder_mead, pso, rootfind, sann
 
-__all__ = ["bfgs", "cgd", "de", "gd", "lm", "nelder_mead", "pso", "sann"]
+__all__ = [
+    "bfgs",
+    "brent",
+    "cgd",
+    "de",
+    "gd",
+    "lm",
+    "nelder_mead",
+    "pso",
+    "rootfind",
+    "sann",
+]
