@@ -1,0 +1,92 @@
+"""linalg layer: Givens QR, iterated-QR eigensolver, solves — the tinyqr
+replacement (tinyqr.h), validated against XLA's factorizations."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlsolver_tpu.linalg import (
+    damped_solve,
+    eigh,
+    eigh_qr,
+    least_squares,
+    qr,
+    qr_givens,
+    solve_cholesky,
+    validate_qr,
+)
+
+
+def random_matrix(key, n, symmetric=False):
+    A = jax.random.normal(key, (n, n), jnp.float64)
+    if symmetric:
+        A = (A + A.T) / 2 + n * jnp.eye(n)
+    return A
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 8])
+def test_givens_qr_reconstructs(n, key):
+    A = random_matrix(key, n)
+    res = jax.jit(qr_givens)(A)
+    assert float(validate_qr(res, A)) < 1e-10
+    # R upper triangular
+    assert float(jnp.max(jnp.abs(jnp.tril(res.R, -1)))) < 1e-10
+    # Q orthogonal
+    assert jnp.allclose(res.Q.T @ res.Q, jnp.eye(n), atol=1e-10)
+
+
+def test_qr_backends_agree_on_abs(key):
+    A = random_matrix(key, 4)
+    g = qr_givens(A)
+    h = qr(A)
+    # QR unique up to column signs
+    assert jnp.allclose(jnp.abs(g.R), jnp.abs(h.R), atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [2, 4, 6])
+def test_eigh_qr_matches_xla(n, key):
+    A = random_matrix(key, n, symmetric=True)
+    # the unshifted QR algorithm converges like |l_i/l_j|^k — close
+    # eigenvalue pairs need many iterations (tinyqr's 25-iteration default
+    # has the same limitation)
+    ours = jax.jit(lambda a: eigh_qr(a, max_iter=2000, tol=1e-14))(A)
+    ref = eigh(A)
+    assert jnp.allclose(
+        jnp.sort(ours.eigenvalues), jnp.sort(ref.eigenvalues), atol=1e-8
+    )
+    # eigenvector property A v = w v
+    for i in range(n):
+        v = ours.eigenvectors[:, i]
+        w = ours.eigenvalues[i]
+        assert jnp.allclose(A @ v, w * v, atol=1e-6)
+
+
+def test_solve_cholesky(key):
+    A = random_matrix(key, 5, symmetric=True)
+    b = jnp.arange(1.0, 6.0)
+    x = solve_cholesky(A, b)
+    assert jnp.allclose(A @ x, b, atol=1e-9)
+
+
+def test_damped_solve(key):
+    A = random_matrix(key, 4, symmetric=True)
+    g = jnp.ones(4)
+    u = damped_solve(A, g, 10.0)
+    assert jnp.allclose((A + 10.0 * jnp.eye(4)) @ u, g, atol=1e-9)
+
+
+def test_least_squares(key):
+    k1, k2 = jax.random.split(key)
+    A = jax.random.normal(k1, (20, 4), jnp.float64)
+    x_true = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    y = A @ x_true + 0.0
+    x = least_squares(A, y)
+    assert jnp.allclose(x, x_true, atol=1e-10)
+
+
+def test_batched_via_vmap(key):
+    As = jax.vmap(lambda k: random_matrix(k, 4, symmetric=True))(
+        jax.random.split(key, 16)
+    )
+    bs = jnp.ones((16, 4))
+    xs = jax.jit(jax.vmap(solve_cholesky))(As, bs)
+    assert jnp.allclose(jnp.einsum("bij,bj->bi", As, xs), bs, atol=1e-8)
