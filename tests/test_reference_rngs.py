@@ -1,0 +1,91 @@
+"""Reference RNG parity: the pure-JAX uint32-pair generators must match the
+native C++ oracles (which implement the reference's algorithms + seeding
+quirks) bit-for-bit in their integer streams / to rounding in float."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsolver_tpu import native
+from nlsolver_tpu.random import reference_rngs as rr
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+N = 256
+
+
+def jax_seq(kind, n=N, dtype=jnp.float64):
+    # float64 to match the native double oracles (the reference's test
+    # harness instantiates its RNGs with double as well)
+    state, nxt = rr.make(kind, dtype=dtype)
+    us, _ = jax.jit(lambda s: rr.sample(s, nxt, n))(state)
+    return np.asarray(us, np.float64)
+
+
+@needs_native
+def test_splitmix_matches_native():
+    ours = jax_seq("splitmix")
+    ref = native.splitmix_seq(N)
+    np.testing.assert_allclose(ours, ref, rtol=2e-7, atol=0)
+
+
+@needs_native
+def test_xoshiro_matches_native():
+    np.testing.assert_allclose(jax_seq("xoshiro"), native.xoshiro_seq(N), rtol=2e-7)
+
+
+@needs_native
+def test_xorshift_matches_native():
+    np.testing.assert_allclose(jax_seq("xorshift"), native.xorshift_seq(N), rtol=2e-7)
+
+
+@needs_native
+def test_halton_matches_native():
+    np.testing.assert_allclose(jax_seq("halton"), native.halton_seq(N), rtol=1e-6)
+
+
+@needs_native
+def test_recurrent_matches_native():
+    np.testing.assert_allclose(jax_seq("recurrent"), native.recurrent_seq(N), rtol=1e-5)
+
+
+def test_uniform_range():
+    for kind in ("splitmix", "xoshiro", "xorshift", "halton", "recurrent"):
+        us = jax_seq(kind)
+        assert us.min() >= 0.0 and us.max() <= 1.0, kind
+        # crude uniformity: mean in a sane band
+        assert 0.3 < us.mean() < 0.7, (kind, us.mean())
+
+
+def test_u64_mul_parity():
+    # emulated 64-bit multiply against numpy's
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**64, 50, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 50, dtype=np.uint64)
+    for ai, bi in zip(a.tolist(), b.tolist()):
+        r = rr.mul(rr.from_int(ai), rr.from_int(bi))
+        expect = (ai * bi) & 0xFFFFFFFFFFFFFFFF
+        got = (int(r.hi) << 32) | int(r.lo)
+        assert got == expect, (ai, bi)
+
+
+def test_state_roundtrip():
+    # get_state/set_state analogue: states are plain pytrees
+    state, nxt = rr.make("xoshiro")
+    u1, s1 = nxt(state)
+    # resume from saved state gives the same continuation
+    u2a, _ = nxt(s1)
+    u2b, _ = nxt(s1)
+    assert float(u2a) == float(u2b)
+
+
+@needs_native
+def test_streaming_median():
+    m = native.StreamingMedian()
+    for v in [5.0, 1.0, 3.0, 2.0, 4.0]:
+        m.push(v)
+    assert m.median == 3.0
+    m.push(100.0)
+    assert m.median == 3.5
