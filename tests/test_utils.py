@@ -1,0 +1,72 @@
+"""Timing harness, checkpoint round-trips, observability hooks."""
+import os
+
+import jax
+import jax.numpy as jnp
+
+from nlsolver_tpu.utils import (
+    Benchmarker,
+    Stopwatch,
+    StreamingMedian,
+    benchmark,
+    debug_nans,
+    load,
+    save,
+)
+
+
+def test_stopwatch(capsys):
+    with Stopwatch("t") as sw:
+        sum(range(1000))
+    assert sw.elapsed_us > 0
+    assert "[t] elapsed" in capsys.readouterr().out
+
+
+def test_streaming_median():
+    m = StreamingMedian()
+    for v in [5.0, 1.0, 3.0, 2.0, 4.0]:
+        m.push(v)
+    assert m.median == 3.0
+    m.push(100.0)
+    assert m.median == 3.5
+
+
+def test_benchmark_and_benchmarker():
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((128,))
+    stats = benchmark(f, x, runs=3, warmup=1)
+    assert stats["median_us"] > 0
+    b = Benchmarker(runs=3, warmup=1)
+    b.run("a", f, x)
+    b.run("b", f, x)
+    assert b.speedup("a", "b") > 0
+    assert "median" in b.report()
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    from nlsolver_tpu.problems import PROBLEMS
+    from nlsolver_tpu.solvers import de
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    p = PROBLEMS["rosenbrock"]
+    cfg = DEConfig(max_iter=50)
+    state = de.init(p.fn, jnp.full((2,), -0.5), cfg, key)
+    step = jax.jit(lambda s: de.step(p.fn, s, cfg))
+    for _ in range(5):
+        state = step(state)
+
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save(path, state)
+    restored = load(path, state)
+
+    # resuming from the restored state reproduces the original trajectory
+    a = step(state)
+    b = step(restored)
+    assert jnp.allclose(a.agents, b.agents)
+    assert jnp.allclose(a.scores, b.scores)
+
+
+def test_debug_nans_context():
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
