@@ -1,0 +1,204 @@
+"""Benchmark scenarios for the BASELINE.json configs.
+
+Each scenario returns a dict with a throughput metric and context; the
+repo-root ``bench.py`` prints the headline (batched DE) as the driver's
+one-line JSON and can run the full suite with ``--all``.
+
+Methodology: median-of-runs with ``block_until_ready`` fencing
+(utils/timing.py), fixed-trip scan driver so every run does identical work.
+"""
+from __future__ import annotations
+
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..core.driver import drive_scan
+from ..problems import PROBLEMS
+from ..solvers import bfgs, de, nelder_mead, pso, rootfind, sann
+from ..solvers import nlls as nlls_mod
+
+
+def _timed(run, runs=5, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(run())
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), min(times)
+
+
+def bench_nm_rosenbrock(runs=5):
+    """Config #1: single-instance NM on Rosenbrock (README example)."""
+    p = PROBLEMS["rosenbrock"]
+    x0 = jnp.full((2,), -0.5, jnp.float32)
+    solve = jax.jit(lambda x: nelder_mead.minimize(p.fn, x, nelder_mead.NelderMeadConfig()))
+    med, mn = _timed(lambda: solve(x0).x, runs)
+    res = solve(x0)
+    return {
+        "name": "nm_rosenbrock_single",
+        "solve_time_us": med * 1e6,
+        "iterations": int(res.iterations),
+        "iters_per_sec": float(res.iterations) / med,
+    }
+
+
+def bench_de_batched(B=1024, dim=10, pop=64, iters=200, runs=5):
+    """Config #2: batched-population DE on Rastrigin."""
+    fn = PROBLEMS["rastrigin"].fn
+    cfg = de.DEConfig(pop_size=pop, max_iter=1 << 30, best_value_no_change=1 << 30, eps=0.0)
+    x0 = jnp.full((B, dim), -0.5, jnp.float32)
+    keys = jax.random.split(jax.random.key(0), B)
+
+    @jax.jit
+    def run(x0, keys):
+        states = jax.vmap(lambda x, k: de.init(fn, x, cfg, k))(x0, keys)
+        final = drive_scan(jax.vmap(lambda s: de.step(fn, s, cfg)), states, iters)
+        return jnp.min(final.scores, axis=-1)
+
+    med, mn = _timed(lambda: run(x0, keys), runs)
+    return {
+        "name": "de_batched",
+        "instances": B,
+        "generations": iters,
+        "iters_per_sec": B * iters / med,
+        "median_ms": med * 1e3,
+        "min_ms": mn * 1e3,
+    }
+
+
+def bench_pso_sann_100d(B=256, dim=100, iters=200, runs=5):
+    """Config #3: vmapped PSO + SANN swarms on 100-D Rastrigin/Ackley."""
+    out = {}
+    for pname in ("rastrigin", "ackley"):
+        fn = PROBLEMS[pname].fn
+        cfg = pso.PSOConfig(n_particles=32, max_iter=1 << 30, best_value_no_change=1 << 30, eps=0.0)
+        keys = jax.random.split(jax.random.key(0), B)
+        x0 = jnp.full((dim,), -0.5, jnp.float32)
+        lower, upper = -jnp.abs(x0), jnp.abs(x0)
+
+        @jax.jit
+        def run(keys):
+            states = jax.vmap(lambda k: pso.init(fn, x0, cfg, k, lower, upper))(keys)
+            final = drive_scan(
+                jax.vmap(lambda s: pso.step(fn, s, cfg, lower, upper, False)),
+                states,
+                iters,
+            )
+            return final.swarm_best_value
+
+        med, _ = _timed(lambda: run(keys), runs)
+        out[f"pso_{pname}_100d_iters_per_sec"] = B * iters / med
+
+    scfg = sann.SANNConfig(max_iter=1 << 30)
+    keys = jax.random.split(jax.random.key(0), B)
+    x0 = jnp.full((dim,), -0.5, jnp.float32)
+    fn = PROBLEMS["rastrigin"].fn
+
+    @jax.jit
+    def run_sann(keys):
+        states = jax.vmap(lambda k: sann.init(fn, x0, scfg, k))(keys)
+        final = drive_scan(jax.vmap(lambda s: sann.step(fn, s, scfg)), states, iters)
+        return final.best_value
+
+    med, _ = _timed(lambda: run_sann(keys), runs)
+    out["sann_rastrigin_100d_iters_per_sec"] = B * iters / med
+    out["name"] = "pso_sann_100d"
+    out["instances"] = B
+    return out
+
+
+def bench_bfgs_batch(B=10000, dim=16, runs=5):
+    """Config #4a: 10k batched BFGS + More-Thuente on smooth convex
+    instances (shifted quadratic bowls with per-instance curvature)."""
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    centers = jax.random.normal(k1, (B, dim), jnp.float32)
+    scales = jax.random.uniform(k2, (B, dim), jnp.float32, 0.5, 3.0)
+    cfg = bfgs.BFGSConfig(max_iter=30)
+
+    @jax.jit
+    def run():
+        def solve(c, s):
+            fn = lambda x: jnp.sum(s * (x - c) ** 2)
+            return bfgs.minimize(fn, jnp.zeros(dim, jnp.float32), cfg)
+
+        return jax.vmap(solve)(centers, scales)
+
+    med, mn = _timed(lambda: run().x, runs)
+    res = run()
+    total_iters = int(jnp.sum(res.iterations))
+    return {
+        "name": "bfgs_batch",
+        "instances": B,
+        "median_ms": med * 1e3,
+        "solved_frac": float(jnp.mean((res.f_value < 1e-4))),
+        "iters_per_sec": total_iters / med,
+    }
+
+
+def bench_rootfinder_batch(B=100000, runs=5):
+    """Config #4b: Brent + ITP over a large batch of bracketed scalar roots."""
+    shifts = jnp.linspace(0.1, 1.9, B).astype(jnp.float32)
+
+    @jax.jit
+    def run_brent():
+        return jax.vmap(
+            lambda c: rootfind.brent(lambda x: jnp.cos(x) - c * x, 0.0, 2.0, tol=1e-6)
+        )(shifts).x
+
+    @jax.jit
+    def run_itp():
+        return jax.vmap(
+            lambda c: rootfind.itp(lambda x: jnp.cos(x) - c * x, 0.0, 2.0, tol=1e-6, eps=1e-6)
+        )(shifts).x
+
+    med_b, _ = _timed(run_brent, runs)
+    med_i, _ = _timed(run_itp, runs)
+    return {
+        "name": "rootfinder_batch",
+        "instances": B,
+        "brent_roots_per_sec": B / med_b,
+        "itp_roots_per_sec": B / med_i,
+    }
+
+
+def bench_lm_fleet(B=4096, m=32, runs=5):
+    """Config #5: batched nonlinear least-squares fits (exp decay curves)."""
+    key = jax.random.key(0)
+    t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float32)
+    k1, k2 = jax.random.split(key)
+    amps = jax.random.uniform(k1, (B,), jnp.float32, 1.0, 3.0)
+    rates = jax.random.uniform(k2, (B,), jnp.float32, 0.5, 2.0)
+    ys = amps[:, None] * jnp.exp(-rates[:, None] * t[None, :])
+    cfg = nlls_mod.NLLSConfig(max_iter=30)
+
+    def residual(p, y_i):
+        return p[0] * jnp.exp(-p[1] * t) - y_i
+
+    run = jax.jit(
+        lambda: nlls_mod.fit_batched(residual, jnp.ones((B, 2), jnp.float32), cfg, data=ys)
+    )
+    med, _ = _timed(lambda: run().x, runs)
+    res = run()
+    return {
+        "name": "lm_fleet",
+        "instances": B,
+        "median_ms": med * 1e3,
+        "fits_per_sec": B / med,
+        "solved_frac": float(jnp.mean(res.f_value < 1e-6)),
+    }
+
+
+ALL_BENCHES = {
+    "nm_rosenbrock": bench_nm_rosenbrock,
+    "de_batched": bench_de_batched,
+    "pso_sann_100d": bench_pso_sann_100d,
+    "bfgs_batch": bench_bfgs_batch,
+    "rootfinder_batch": bench_rootfinder_batch,
+    "lm_fleet": bench_lm_fleet,
+}
