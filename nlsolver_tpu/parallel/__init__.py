@@ -1,11 +1,15 @@
 from .de_sharded import minimize_sharded
 from .mesh import DP_AXIS, POP_AXIS, instance_sharding, make_mesh, population_sharding
+from .nlls_sharded import fit_sharded
+from .pso_sharded import minimize_sharded as pso_minimize_sharded
 
 __all__ = [
     "DP_AXIS",
     "POP_AXIS",
+    "fit_sharded",
     "instance_sharding",
     "make_mesh",
     "minimize_sharded",
     "population_sharding",
+    "pso_minimize_sharded",
 ]

@@ -27,6 +27,35 @@ def test_sharded_de_converges(mesh, key):
     assert float(jnp.max(dists)) <= 0.05, res.x
 
 
+def test_sharded_pso_converges(mesh, key):
+    from nlsolver_tpu.parallel import pso_minimize_sharded
+    from nlsolver_tpu.solvers.pso import PSOConfig
+
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = PSOConfig(n_particles=16, max_iter=500)
+    res = pso_minimize_sharded(p.fn, x0, cfg, mesh, keys)
+    assert res.x.shape == (B, 2)
+    dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+    assert float(jnp.max(dists)) <= 0.05, res.x
+
+
+def test_sharded_pso_layout_invariance(key):
+    from nlsolver_tpu.parallel import pso_minimize_sharded
+    from nlsolver_tpu.solvers.pso import PSOConfig
+
+    p = PROBLEMS["rosenbrock"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = PSOConfig(n_particles=16, max_iter=60, best_value_no_change=1000)
+    res_a = pso_minimize_sharded(p.fn, x0, cfg, make_mesh(8, dp=4, pop=2), keys)
+    res_b = pso_minimize_sharded(p.fn, x0, cfg, make_mesh(8, dp=2, pop=4), keys)
+    assert jnp.allclose(res_a.x, res_b.x, atol=1e-12)
+
+
 def test_sharded_matches_mesh_layouts(key):
     # layout invariance: (1,8) vs (4,2)... same keys -> same results
     p = PROBLEMS["sphere"]

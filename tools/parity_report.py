@@ -1,0 +1,155 @@
+"""Generate PARITY.md — this framework's results over every (solver family,
+problem) pair in the reference's measured test matrix.
+
+Criterion per pair (reference harness semantics, NaN-aware): from
+x0 = (-0.5, ...), some known minimum is within |dx| <= 0.05.  Deterministic
+families run once; stochastic families run 8 seeds (vmapped) and PASS on a
+majority, since the reference's own evidence per pair is 4 sequential RNG
+streams.
+
+Usage: python tools/parity_report.py  (writes PARITY.md at the repo root)
+"""
+import os
+import sys
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp
+
+from nlsolver_tpu.problems import PROBLEMS
+from nlsolver_tpu.solvers import bfgs, cgd, de, gd, nelder_mead, nmpso, pso
+from reference_matrix import FAMILIES, PROBLEM_NAME_MAP, full_matrix
+
+TOL = 0.05
+N_SEEDS = 8
+
+DETERMINISTIC = {
+    "nelder_mead": (nelder_mead, nelder_mead.NelderMeadConfig()),
+    "bfgs": (bfgs, bfgs.BFGSConfig()),
+    "cgd": (cgd, cgd.CGDConfig()),
+    "gd_linesearch": (gd, gd.GDConfig(step_type="linesearch")),
+    "gd_anneal": (gd, gd.GDConfig(step_type="anneal")),
+}
+STOCHASTIC = {
+    "de_random": (de, de.DEConfig(strategy="random")),
+    "de_best": (de, de.DEConfig(strategy="best")),
+    "pso_vanilla": (pso, pso.PSOConfig(accelerated=False)),
+    "pso_accelerated": (pso, pso.PSOConfig(accelerated=True)),
+    "nmpso": (nmpso, nmpso.NMPSOConfig()),
+}
+
+
+def start(p):
+    return jnp.full((p.dim,), -0.5, jnp.float64)
+
+
+def run_family(family):
+    results = {}
+    if family in DETERMINISTIC:
+        mod, cfg = DETERMINISTIC[family]
+        for name, p in PROBLEMS.items():
+            if name not in PROBLEM_NAME_MAP.values():
+                continue
+            res = jax.jit(lambda x0: mod.minimize(p.fn, x0, cfg))(start(p))
+            d = float(p.distance_to_nearest_minimum(res.x))
+            results[name] = (d <= TOL, f"{d:.3f}" if d == d else "nan")
+    else:
+        mod, cfg = STOCHASTIC[family]
+        for name, p in PROBLEMS.items():
+            if name not in PROBLEM_NAME_MAP.values():
+                continue
+            keys = jax.random.split(jax.random.key(42), N_SEEDS)
+            res = jax.jit(
+                jax.vmap(lambda k: mod.minimize(p.fn, start(p), cfg, key=k))
+            )(keys)
+            dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+            n_pass = int(jnp.sum(dists <= TOL))
+            results[name] = (n_pass >= N_SEEDS // 2, f"{n_pass}/{N_SEEDS}")
+    return results
+
+
+def reference_results():
+    """family -> problem -> fraction of that family's configs that pass."""
+    per = {}
+    for fam, pred in FAMILIES.items():
+        per[fam] = {}
+    for solver, problem, ok in full_matrix():
+        for fam, pred in FAMILIES.items():
+            if pred(solver):
+                per[fam].setdefault(problem, []).append(ok)
+    return {
+        fam: {prob: sum(oks) / len(oks) for prob, oks in probs.items()}
+        for fam, probs in per.items()
+    }
+
+
+def main():
+    ref = reference_results()
+    fams = list(DETERMINISTIC) + list(STOCHASTIC)
+    problems = sorted({p for fam in ref.values() for p in fam})
+
+    ours = {}
+    for fam in fams:
+        print(f"running {fam}...", flush=True)
+        ours[fam] = run_family(fam)
+
+    lines = [
+        "# PARITY — nlsolver_tpu vs. reference binary",
+        "",
+        "Criterion: from x0=(-0.5,...), some known minimum within |dx| <= 0.05",
+        "(the reference harness's check, made NaN-aware).  Reference column =",
+        "fraction of that family's RNG configs that pass in",
+        "`reference_test_matrix.tsv`; ours = single run (deterministic) or",
+        f"pass count over {N_SEEDS} seeds (stochastic), PASS on majority.",
+        "",
+        "| family | problem | reference | ours | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    must_pass = 0
+    must_pass_ok = 0
+    bonus = 0
+    for fam in fams:
+        for prob in problems:
+            r = ref[fam].get(prob)
+            o = ours[fam].get(prob)
+            if r is None or o is None:
+                continue
+            ours_pass, detail = o
+            ref_str = f"{r:.0%}"
+            if r > 0:
+                must_pass += 1
+                must_pass_ok += int(ours_pass)
+                verdict = "OK" if ours_pass else "**REGRESSION**"
+            else:
+                verdict = "**bonus**" if ours_pass else "-"
+                bonus += int(ours_pass)
+            lines.append(
+                f"| {fam} | {prob} | {ref_str} | "
+                f"{'PASS' if ours_pass else 'FAIL'} ({detail}) | {verdict} |"
+            )
+    lines += [
+        "",
+        f"**Summary:** reference-passing pairs covered: {must_pass_ok}/{must_pass};"
+        f" pairs the reference fails but this framework solves: {bonus}.",
+        "",
+        "(CMA-ES, SANN, LM, Brent and the root finders have no reference test",
+        "coverage — see their dedicated test files.)",
+    ]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PARITY.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {must_pass_ok}/{must_pass} reference passes covered, {bonus} bonus")
+
+
+if __name__ == "__main__":
+    main()
