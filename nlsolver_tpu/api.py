@@ -41,6 +41,8 @@ def _register():
         "lm",
         "brent",
         "cmaes",
+        "lbfgs",
+        "coordinate",
     ):
         try:
             _METHODS[name] = importlib.import_module(f".solvers.{name}", __package__)
