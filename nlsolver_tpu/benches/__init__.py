@@ -14,6 +14,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.driver import drive_scan
 from ..problems import PROBLEMS
@@ -21,13 +22,24 @@ from ..solvers import bfgs, de, nelder_mead, pso, rootfind, sann
 from ..solvers import nlls as nlls_mod
 
 
+def _fetch(x):
+    """Force completion by pulling a scalar to the host.
+
+    On the tunneled axon platform ``block_until_ready`` can return before
+    the execution actually finishes (measured: a 340ms program "completes"
+    in 0.1ms); a device->host fetch is the only reliable fence.
+    """
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(np.asarray(jnp.sum(leaves[0].astype(jnp.float32))))
+
+
 def _timed(run, runs=5, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(run())
+        _fetch(run())
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        _fetch(run())
         times.append(time.perf_counter() - t0)
     return statistics.median(times), min(times)
 
@@ -47,22 +59,49 @@ def bench_nm_rosenbrock(runs=5):
     }
 
 
-def bench_de_batched(B=1024, dim=10, pop=64, iters=200, runs=5):
-    """Config #2: batched-population DE on Rastrigin."""
-    fn = PROBLEMS["rastrigin"].fn
-    cfg = de.DEConfig(pop_size=pop, max_iter=1 << 30, best_value_no_change=1 << 30, eps=0.0)
-    x0 = jnp.full((B, dim), -0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(0), B)
+def bench_de_batched(
+    B=2048, dim=10, pop=64, iters=200, runs=5, fast: bool = True
+):
+    """Config #2: batched-population DE on Rastrigin.
 
-    @jax.jit
-    def run(x0, keys):
-        states = jax.vmap(lambda x, k: de.init(fn, x, cfg, k))(x0, keys)
-        final = drive_scan(jax.vmap(lambda s: de.step(fn, s, cfg)), states, iters)
-        return jnp.min(final.scores, axis=-1)
+    ``fast=True`` uses the TPU-first column-major driver
+    (solvers/de_batched.py) with rbg PRNG keys and rotation partner
+    sampling — measured ~10x the row-layout vmapped driver on v5e;
+    ``fast=False`` measures the reference-semantics row driver.
+    """
+    from ..solvers import de_batched as deb
+
+    fn = PROBLEMS["rastrigin"].fn
+    x0 = jnp.full((B, dim), -0.5, jnp.float32)
+
+    if fast:
+        cfg = de.DEConfig(
+            pop_size=pop, max_iter=1 << 30, best_value_no_change=1 << 30,
+            eps=0.0, partner_sampling="rotation",
+        )
+        keys = jax.random.split(jax.random.key(0, impl="rbg"), B)
+
+        @jax.jit
+        def run(x0, keys):
+            state = deb.init(fn, x0, cfg, keys)
+            final = drive_scan(lambda s: deb.step(fn, s, cfg), state, iters)
+            return jnp.min(final.scores, axis=-1)
+
+    else:
+        cfg = de.DEConfig(
+            pop_size=pop, max_iter=1 << 30, best_value_no_change=1 << 30, eps=0.0
+        )
+        keys = jax.random.split(jax.random.key(0), B)
+
+        @jax.jit
+        def run(x0, keys):
+            states = jax.vmap(lambda x, k: de.init(fn, x, cfg, k))(x0, keys)
+            final = drive_scan(jax.vmap(lambda s: de.step(fn, s, cfg)), states, iters)
+            return jnp.min(final.scores, axis=-1)
 
     med, mn = _timed(lambda: run(x0, keys), runs)
     return {
-        "name": "de_batched",
+        "name": "de_batched" + ("_fast" if fast else "_row"),
         "instances": B,
         "generations": iters,
         "iters_per_sec": B * iters / med,

@@ -55,6 +55,16 @@ class DEConfig:
     max_iter: int = 1000
     best_value_no_change: int = 50
     strategy: str = "random"    # RecombinationStrategy {random, best} (:2377)
+    # partner sampling (honored by the column-major de_batched driver):
+    #   "uniform"  — per-agent uniform distinct partners (reference
+    #                semantics, nlsolver.h:2331-2355);
+    #   "rotation" — per-generation random ring rotations: agent i's
+    #                partners are (i+o1, i+o2, i+o3) mod P with the three
+    #                offsets drawn fresh each generation from disjoint
+    #                ranges (distinct, nonzero).  Replaces the one-hot
+    #                selection matmul and per-agent index sampling with
+    #                three lane rolls — the fast path for large fleets.
+    partner_sampling: str = "uniform"
 
 
 class DEState(NamedTuple):
