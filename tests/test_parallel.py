@@ -67,3 +67,39 @@ def test_sharded_matches_mesh_layouts(key):
     res_b = minimize_sharded(p.fn, x0, cfg, make_mesh(8, dp=2, pop=4), keys)
     assert jnp.allclose(res_a.x, res_b.x, atol=1e-12)
     assert jnp.allclose(res_a.f_value, res_b.f_value, atol=1e-12)
+
+
+def test_dim_sharded_lbfgs(key):
+    # large-n quadratic with cross-shard coupling via the global mean
+    from nlsolver_tpu.parallel.lbfgs_sharded import minimize_dim_sharded
+    from jax import lax
+
+    mesh = make_mesh(8, dp=1, pop=8)
+    n = 1024
+    targets = jnp.linspace(-1.0, 1.0, n)
+
+    # f(x) = sum((x - t)^2) + (mean(x))^2  -- the mean couples all shards
+    def fn_local(x_loc):
+        i = lax.axis_index("pop")
+        t_loc = lax.dynamic_slice(targets, (i * (n // 8),), (n // 8,))
+        return jnp.sum((x_loc - t_loc) ** 2)
+
+    def grad_local(x_loc):
+        i = lax.axis_index("pop")
+        t_loc = lax.dynamic_slice(targets, (i * (n // 8),), (n // 8,))
+        mean_x = lax.psum(jnp.sum(x_loc), "pop") / n
+        return 2.0 * (x_loc - t_loc) + 2.0 * mean_x / n
+
+    # include the coupling term in fn_local's psum contribution: add it on
+    # shard 0 only (it is a function of the global mean)
+    def fn_local_full(x_loc):
+        i = lax.axis_index("pop")
+        mean_x = lax.psum(jnp.sum(x_loc), "pop") / n
+        base = fn_local(x_loc)
+        return base + jnp.where(i == 0, mean_x**2, 0.0)
+
+    res = minimize_dim_sharded(fn_local_full, grad_local, jnp.zeros(n), mesh)
+    assert res.x.shape == (n,)
+    # analytic optimum: x = t - mean-correction; mean(t)=0 so x* = t
+    assert float(jnp.max(jnp.abs(res.x - targets))) < 1e-4
+    assert bool(res.converged)
