@@ -42,6 +42,7 @@ def _register():
         "brent",
         "cmaes",
         "lbfgs",
+        "lbfgsb",
         "coordinate",
     ):
         try:

@@ -173,16 +173,21 @@ class MTResult(NamedTuple):
     info: jax.Array   # MINPACK info code (1 = strong Wolfe satisfied)
 
 
-def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0) -> MTResult:
+def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0, alpha_max=STPMAX) -> MTResult:
     """Strong-Wolfe search along ``direction`` from ``x``.
 
     fn/grad_fn: objective and gradient callables on [n] points.
     f0/g0: objective value and gradient at x.
+    alpha_max: optional (traceable) upper bound on the step — used by the
+    box-constrained solvers to truncate the search at the feasible boundary
+    (the MINPACK ``stpmax`` argument the reference hard-codes to 1e15,
+    nlsolver.h:1686).
     Returns the accepted step alpha (the reference's cvsrch result semantics:
     initial alpha when the initial slope is non-negative).
     """
     dtype = x.dtype
-    alpha0 = jnp.asarray(alpha0, dtype)
+    stpmax = jnp.asarray(alpha_max, dtype)
+    alpha0 = jnp.minimum(jnp.asarray(alpha0, dtype), stpmax)
     dginit = jnp.dot(g0, direction)
 
     dgtest = FTOL * dginit
@@ -204,7 +209,7 @@ def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0) -> MTResult:
         ok: jax.Array
         info: jax.Array
 
-    w = STPMAX - STPMIN
+    w = stpmax - STPMIN
     init = S(
         stp=alpha0,
         stx=jnp.asarray(0.0, dtype),
@@ -230,7 +235,7 @@ def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0) -> MTResult:
         stmax = jnp.where(
             s.brackt, jnp.maximum(s.stx, s.sty), s.stp + XTRAPF * (s.stp - s.stx)
         )
-        stp = jnp.clip(s.stp, STPMIN, STPMAX)
+        stp = jnp.clip(s.stp, STPMIN, stpmax)
         fallback = (
             (s.brackt & ((stp <= stmin) | (stp >= stmax)))
             | (s.nfev >= MAXFEV - 1)
@@ -250,7 +255,7 @@ def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0) -> MTResult:
         info = jnp.where(
             (s.brackt & ((stp <= stmin) | (stp >= stmax))) | (~s.ok), 6, info
         )
-        info = jnp.where((stp == STPMAX) & (fv <= ftest1) & (dg <= dgtest), 5, info)
+        info = jnp.where((stp == stpmax) & (fv <= ftest1) & (dg <= dgtest), 5, info)
         info = jnp.where((stp == STPMIN) & ((fv > ftest1) | (dg >= dgtest)), 4, info)
         info = jnp.where(nfev >= MAXFEV, 3, info)
         info = jnp.where(s.brackt & ((stmax - stmin) <= XTOL * stmax), 2, info)
