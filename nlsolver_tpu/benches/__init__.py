@@ -198,6 +198,35 @@ def bench_bfgs_batch(B=10000, dim=16, runs=5):
     }
 
 
+def bench_bfgs_fleet(B=10000, dim=16, runs=5, use_pallas=False):
+    """Config #4a, batch-minor layout: the same 10k-instance BFGS workload
+    as bench_bfgs_batch but with the fleet on the trailing (lane) axis and
+    the fused update+direction kernel (solvers/bfgs_fleet.py)."""
+    from ..solvers import bfgs_fleet
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    centers = jax.random.normal(k1, (dim, B), jnp.float32)
+    scales = jax.random.uniform(k2, (dim, B), jnp.float32, 0.5, 3.0)
+    cfg = bfgs_fleet.BFGSFleetConfig(max_iter=30, use_pallas=use_pallas)
+    fn_cols = lambda X: jnp.sum(scales * (X - centers) ** 2, axis=0)
+
+    run = jax.jit(
+        lambda: bfgs_fleet.minimize_fleet(fn_cols, jnp.zeros((dim, B), jnp.float32), cfg)
+    )
+    med, mn = _timed(lambda: run().x, runs)
+    res = run()
+    total_iters = int(jnp.sum(res.iterations))
+    return {
+        "name": "bfgs_fleet",
+        "instances": B,
+        "median_ms": med * 1e3,
+        "solved_frac": float(jnp.mean((res.f_value < 1e-4))),
+        "iters_per_sec": total_iters / med,
+        "use_pallas": use_pallas,
+    }
+
+
 def bench_rootfinder_batch(B=100000, runs=5):
     """Config #4b: Brent + ITP over a large batch of bracketed scalar roots."""
     shifts = jnp.linspace(0.1, 1.9, B).astype(jnp.float32)
@@ -256,6 +285,7 @@ ALL_BENCHES = {
     "de_batched": bench_de_batched,
     "pso_sann_100d": bench_pso_sann_100d,
     "bfgs_batch": bench_bfgs_batch,
+    "bfgs_fleet": bench_bfgs_fleet,
     "rootfinder_batch": bench_rootfinder_batch,
     "lm_fleet": bench_lm_fleet,
 }

@@ -319,3 +319,158 @@ def more_thuente(fn, grad_fn, x, f0, g0, direction, alpha0, alpha_max=STPMAX) ->
         nfev=jnp.where(bad, 0, final.nfev),
         info=jnp.where(bad, -1, final.info),
     )
+
+
+class _FS(NamedTuple):
+    stp: jax.Array
+    stx: jax.Array
+    fx: jax.Array
+    dgx: jax.Array
+    sty: jax.Array
+    fy: jax.Array
+    dgy: jax.Array
+    brackt: jax.Array
+    stage1: jax.Array
+    nfev: jax.Array
+    width: jax.Array
+    width1: jax.Array
+    ok: jax.Array
+    info: jax.Array
+
+
+def more_thuente_fleet(fn_cols, grad_cols, X, f0, G0, D, alpha0) -> MTResult:
+    """Batch-minor fleet variant of :func:`more_thuente`.
+
+    One line search per LANE: the fleet state lives on the trailing axis so
+    every scalar of the MINPACK recurrence is a ``[B]`` vector and every
+    point is a column of ``X`` — the layout that keeps the whole BFGS fleet
+    on the 128-wide VPU lanes (see solvers/bfgs_fleet.py).
+
+    fn_cols:  ``[n, B] -> [B]`` objective on columns.
+    grad_cols: ``[n, B] -> [n, B]`` gradients of each column.
+    X ``[n, B]``, f0 ``[B]``, G0/D ``[n, B]``; alpha0 scalar or ``[B]``.
+
+    Same constants and same ``cstep`` select tree as the single-instance
+    version (nlsolver.h:1527-1793) — ``cstep`` is pure elementwise data flow
+    so it vectorizes over lanes unchanged.  Finished lanes are frozen in the
+    shared ``while_loop``; the loop runs until every lane has an info code.
+    """
+    dtype = X.dtype
+    B = X.shape[-1]
+    alpha0 = jnp.broadcast_to(jnp.asarray(alpha0, dtype), (B,))
+    dginit = jnp.sum(G0 * D, axis=0)            # [B]
+    dgtest = FTOL * dginit
+    finit = f0
+
+    w = jnp.asarray(STPMAX - STPMIN, dtype)
+    zero = jnp.zeros((B,), dtype)
+    init = _FS(
+        stp=alpha0,
+        stx=zero,
+        fx=finit,
+        dgx=dginit,
+        sty=zero,
+        fy=finit,
+        dgy=dginit,
+        brackt=jnp.zeros((B,), bool),
+        stage1=jnp.ones((B,), bool),
+        nfev=jnp.zeros((B,), jnp.int32),
+        width=jnp.full((B,), w, dtype),
+        width1=jnp.full((B,), 2 * w, dtype),
+        ok=jnp.ones((B,), bool),
+        info=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond(s: _FS):
+        return jnp.any(s.info == 0)
+
+    def body(s: _FS) -> _FS:
+        active = s.info == 0                    # [B]
+        stmin = jnp.where(s.brackt, jnp.minimum(s.stx, s.sty), s.stx)
+        stmax = jnp.where(
+            s.brackt, jnp.maximum(s.stx, s.sty), s.stp + XTRAPF * (s.stp - s.stx)
+        )
+        stp = jnp.clip(s.stp, STPMIN, STPMAX)
+        fallback = (
+            (s.brackt & ((stp <= stmin) | (stp >= stmax)))
+            | (s.nfev >= MAXFEV - 1)
+            | (~s.ok)
+            | (s.brackt & ((stmax - stmin) <= XTOL * stmax))
+        )
+        stp = jnp.where(fallback, s.stx, stp)
+
+        Xt = X + stp * D                        # [n,B] (stp broadcasts on lanes)
+        fv = fn_cols(Xt)                        # [B]
+        Gv = grad_cols(Xt)                      # [n,B]
+        nfev = s.nfev + active.astype(jnp.int32)
+        dg = jnp.sum(Gv * D, axis=0)
+        ftest1 = finit + stp * dgtest
+
+        info = jnp.zeros((B,), jnp.int32)
+        info = jnp.where(
+            (s.brackt & ((stp <= stmin) | (stp >= stmax))) | (~s.ok), 6, info
+        )
+        info = jnp.where((stp == STPMAX) & (fv <= ftest1) & (dg <= dgtest), 5, info)
+        info = jnp.where((stp == STPMIN) & ((fv > ftest1) | (dg >= dgtest)), 4, info)
+        info = jnp.where(nfev >= MAXFEV, 3, info)
+        info = jnp.where(s.brackt & ((stmax - stmin) <= XTOL * stmax), 2, info)
+        info = jnp.where(
+            (fv <= ftest1) & (jnp.abs(dg) <= GTOL * (-dginit)), 1, info
+        )
+
+        stage1 = s.stage1 & ~(
+            (fv <= ftest1) & (dg >= jnp.minimum(FTOL, GTOL) * dginit)
+        )
+        use_mod = stage1 & (fv <= s.fx) & (fv > ftest1)
+
+        sel = lambda m, a, b: jnp.where(m, a, b)
+        fm = sel(use_mod, fv - stp * dgtest, fv)
+        fxm = sel(use_mod, s.fx - s.stx * dgtest, s.fx)
+        fym = sel(use_mod, s.fy - s.sty * dgtest, s.fy)
+        dgm = sel(use_mod, dg - dgtest, dg)
+        dgxm = sel(use_mod, s.dgx - dgtest, s.dgx)
+        dgym = sel(use_mod, s.dgy - dgtest, s.dgy)
+
+        stx2, fx2, dgx2, sty2, fy2, dgy2, stp2, brackt2, ok2 = cstep(
+            s.stx, fxm, dgxm, s.sty, fym, dgym, stp, fm, dgm, s.brackt, stmin, stmax
+        )
+
+        fx3 = sel(use_mod, fx2 + stx2 * dgtest, fx2)
+        fy3 = sel(use_mod, fy2 + sty2 * dgtest, fy2)
+        dgx3 = sel(use_mod, dgx2 + dgtest, dgx2)
+        dgy3 = sel(use_mod, dgy2 + dgtest, dgy2)
+
+        slow = brackt2 & (jnp.abs(sty2 - stx2) >= 0.66 * s.width1)
+        stp3 = jnp.where(slow, stx2 + 0.5 * (sty2 - stx2), stp2)
+        width1 = jnp.where(brackt2, s.width, s.width1)
+        width = jnp.where(brackt2, jnp.abs(sty2 - stx2), s.width)
+
+        done = info != 0
+        new = _FS(
+            stp=jnp.where(done, stp, stp3),
+            stx=stx2,
+            fx=fx3,
+            dgx=dgx3,
+            sty=sty2,
+            fy=fy3,
+            dgy=dgy3,
+            brackt=brackt2,
+            stage1=stage1,
+            nfev=nfev,
+            width=width,
+            width1=width1,
+            ok=ok2,
+            info=info,
+        )
+        # freeze lanes that already carried an info code into this trip
+        return jax.tree_util.tree_map(
+            lambda old, nw: jnp.where(active, nw, old), s, new
+        )
+
+    final = lax.while_loop(cond, body, init)
+    bad = dginit >= 0.0
+    return MTResult(
+        alpha=jnp.where(bad, alpha0, final.stp),
+        nfev=jnp.where(bad, 0, final.nfev),
+        info=jnp.where(bad, -1, final.info),
+    )

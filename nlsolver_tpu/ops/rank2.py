@@ -84,3 +84,114 @@ def rank2_update_batched(H, s, y, rho, use_pallas: bool = False, **kw):
     if use_pallas:
         return rank2_update_batched_pallas(H, s, y, rho, **kw)
     return rank2_update_batched_jnp(H, s, y, rho)
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor ([n, n, B]) fused update + next-direction kernel.
+#
+# The [TB, n, n] layout above wastes lanes when n << 128; putting the FLEET
+# on the trailing (lane) axis makes every contraction a full-width VPU op
+# regardless of n, and fusing the next search direction d' = -H' g into the
+# same pass reads the O(n^2 B) tensor once instead of twice per BFGS
+# iteration.  ``reset`` lanes (curvature loss / NaN — the reference's
+# self-healing H=I, nlsolver.h:3253-3260) substitute the identity for H
+# *inside* the kernel, so deferred resets cost no extra memory pass.
+# ---------------------------------------------------------------------------
+
+
+def rank2_direction_batchminor_jnp(H, s, y, g, rho, reset):
+    """[n, n, B] reference formulation: returns (H', d' = -H' g).
+
+    H [n,n,B]; s, y, g [n,B]; rho, reset [B] (reset: bool — use identity
+    in place of H before updating).
+    """
+    n = H.shape[0]
+    eye = jnp.eye(n, dtype=H.dtype)[:, :, None]
+    Heff = jnp.where(reset[None, None, :], eye, H)
+    Hy = jnp.sum(Heff * y[None, :, :], axis=1)             # [n,B]
+    yHy = jnp.sum(y * Hy, axis=0)                          # [B]
+    coef = rho * (1.0 + rho * yHy)
+    sym = s[:, None, :] * Hy[None, :, :] + Hy[:, None, :] * s[None, :, :]
+    Hn = Heff - rho[None, None, :] * sym + coef[None, None, :] * (
+        s[:, None, :] * s[None, :, :]
+    )
+    d = -jnp.sum(Hn * g[None, :, :], axis=1)               # [n,B]
+    return Hn, d
+
+
+def _bm_kernel(H_ref, s_ref, y_ref, g_ref, rho_ref, reset_ref, Hout_ref, dout_ref):
+    H = H_ref[...]              # [n, n, TB]
+    s = s_ref[...]              # [n, TB]
+    y = y_ref[...]
+    g = g_ref[...]
+    rho = rho_ref[...]          # [1, TB]
+    reset = reset_ref[...] > 0  # [1, TB]
+    n = H.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row == col).astype(H.dtype)[:, :, None]
+    Heff = jnp.where(reset[None, :, :], eye, H)
+    Hy = jnp.sum(Heff * y[None, :, :], axis=1)             # [n, TB]
+    yHy = jnp.sum(y * Hy, axis=0, keepdims=True)           # [1, TB]
+    coef = (rho * (1.0 + rho * yHy))[None, :, :]           # [1, 1, TB]
+    r = rho[None, :, :]
+    sym = s[:, None, :] * Hy[None, :, :] + Hy[:, None, :] * s[None, :, :]
+    Hn = Heff - r * sym + coef * (s[:, None, :] * s[None, :, :])
+    Hout_ref[...] = Hn
+    dout_ref[...] = -jnp.sum(Hn * g[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def rank2_direction_batchminor_pallas(
+    H, s, y, g, rho, reset, tile: int = 512, interpret: bool = False
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, _, B = H.shape
+    # keep the [n, n, tile] block (x6 for in/out/temps) inside VMEM
+    while tile > 128 and n * n * tile * 4 * 6 > 12 * 2**20:
+        tile //= 2
+    if n * n * tile * 4 * 6 > 12 * 2**20:
+        raise ValueError(
+            f"n={n} needs a [n, n, 128] block > VMEM; use the jnp path "
+            "(it is faster than this kernel for large n anyway — BENCH_NOTES.md)"
+        )
+    tile = min(tile, B)
+    pad = (-B) % tile
+    if pad:
+        zpad3 = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+        zpad2 = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        H, s, y, g = zpad3(H), zpad2(s), zpad2(y), zpad2(g)
+        rho = jnp.pad(rho, (0, pad))
+        reset = jnp.pad(reset, (0, pad))
+    Bp = B + pad
+    grid = (Bp // tile,)
+    vec = lambda: pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    lane = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    Hn, d = pl.pallas_call(
+        _bm_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, Bp), H.dtype),
+            jax.ShapeDtypeStruct((n, Bp), H.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), lane(), lane(),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            vec(),
+        ),
+        interpret=interpret,
+    )(H, s, y, g, rho[None, :], reset.astype(jnp.int32)[None, :])
+    if pad:
+        return Hn[:, :, :B], d[:, :B]
+    return Hn, d
+
+
+def rank2_direction_batchminor(H, s, y, g, rho, reset, use_pallas=False, **kw):
+    if use_pallas:
+        return rank2_direction_batchminor_pallas(H, s, y, g, rho, reset, **kw)
+    return rank2_direction_batchminor_jnp(H, s, y, g, rho, reset)
