@@ -1,3 +1,4 @@
+from .de_island import minimize_islands
 from .de_sharded import minimize_sharded
 from .mesh import DP_AXIS, POP_AXIS, instance_sharding, make_mesh, population_sharding
 from .nlls_sharded import fit_sharded
@@ -9,6 +10,7 @@ __all__ = [
     "fit_sharded",
     "instance_sharding",
     "make_mesh",
+    "minimize_islands",
     "minimize_sharded",
     "population_sharding",
     "pso_minimize_sharded",

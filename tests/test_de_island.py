@@ -1,0 +1,95 @@
+"""Island-model DE over the 8-virtual-device CPU mesh: convergence,
+dp-layout invariance at a fixed island count, migration coupling, and the
+communication profile (no per-generation all_gather)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlsolver_tpu.parallel import make_mesh, minimize_islands
+from nlsolver_tpu.problems import PROBLEMS
+from nlsolver_tpu.solvers.de import DEConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8, dp=2, pop=4)
+
+
+def test_island_de_converges(mesh, key):
+    p = PROBLEMS["rosenbrock"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=48, max_iter=400)
+    res = minimize_islands(p.fn, x0, cfg, mesh, keys, migration_interval=10)
+    assert res.x.shape == (B, 2)
+    dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+    assert float(jnp.max(dists)) <= 0.05, res.x
+
+
+def test_island_de_multimodal(mesh, key):
+    p = PROBLEMS["himmelblau"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=64, max_iter=400)
+    res = minimize_islands(p.fn, x0, cfg, mesh, keys, migration_interval=5)
+    dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+    assert float(jnp.max(dists)) <= 0.05, res.x
+
+
+def test_dp_layout_invariance_fixed_islands(key):
+    """(dp=4, pop=2) vs (dp=2, pop=2 over 4 devices): same island count,
+    same instance keys => identical trajectories."""
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=32, max_iter=60)
+    import numpy as np
+
+    res_a = minimize_islands(p.fn, x0, cfg, make_mesh(8, dp=4, pop=2), keys)
+    res_b = minimize_islands(p.fn, x0, cfg, make_mesh(4, dp=2, pop=2), keys)
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_b.x))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.iterations), np.asarray(res_b.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(res_a.f_value), np.asarray(res_b.f_value))
+
+
+def test_migration_couples_islands(mesh, key):
+    """With migration disabled (interval > max_iter) islands evolve in
+    isolation; enabling it must change the trajectory."""
+    p = PROBLEMS["rastrigin"]
+    B = 2
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    # stop well before full convergence so trajectory differences survive
+    cfg = DEConfig(pop_size=32, max_iter=20, best_value_no_change=10**6, eps=0.0)
+    res_iso = minimize_islands(p.fn, x0, cfg, mesh, keys, migration_interval=10**6)
+    res_mig = minimize_islands(p.fn, x0, cfg, mesh, keys, migration_interval=3)
+    assert not jnp.allclose(res_iso.x, res_mig.x)
+    # migration can only inject better-than-worst members: per-instance best
+    # must be at least as good as isolation up to stochastic replacement;
+    # just require both reached a sane region
+    assert float(jnp.max(res_mig.f_value)) <= float(jnp.max(res_iso.f_value)) + 1.0
+
+
+def test_no_per_generation_gather(mesh, key):
+    """Steady-state comms are pmin/psum/ppermute; the single all-gather is
+    the final best-member extraction outside the loop."""
+    p = PROBLEMS["sphere"]
+    B = 2
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=32, max_iter=40)
+    lowered = jax.jit(
+        lambda x, k: minimize_islands(p.fn, x, cfg, mesh, k).x
+    ).lower(x0, keys)
+    hlo = lowered.compile().as_text()
+    loop = hlo[hlo.index("while") :] if "while" in hlo else hlo
+    # the while body must not all-gather; collective-permute must exist
+    body_region = loop.split("ENTRY")[0]
+    assert "collective-permute" in hlo
+    assert body_region.count("all-gather") == 0, "gather leaked into the loop"
