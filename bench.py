@@ -1,9 +1,10 @@
 """Throughput benchmark — batched solver iterations/s/chip.
 
-Headline (stdout, ONE JSON line): vmapped Differential Evolution over 1024
+Headline (stdout, ONE JSON line): batched Differential Evolution over 8192
 independent 10-D Rastrigin instances, 64 agents each, 200 generations via
 the fixed-trip scan driver — per-instance solver iterations per second on
 one chip, against the BASELINE.json north star of 1e5 iterations/s/chip.
+(8192 instances saturates one v5e chip; 2048 reaches only ~45% of peak.)
 
 ``python bench.py --all`` additionally runs every BASELINE.json config
 scenario (NM single, PSO/SANN 100-D swarms, 10k-batch BFGS, 100k root

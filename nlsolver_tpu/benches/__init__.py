@@ -78,7 +78,8 @@ def bench_nm_rosenbrock(runs=5, chain=64):
 
 
 def bench_de_batched(
-    B=2048, dim=10, pop=64, iters=200, runs=5, fast: bool = True
+    B=8192, dim=10, pop=64, iters=200, runs=5, fast: bool = True,
+    eval_dtype=None, fused: bool = False,
 ):
     """Config #2: batched-population DE on Rastrigin.
 
@@ -86,16 +87,22 @@ def bench_de_batched(
     (solvers/de_batched.py) with rbg PRNG keys and rotation partner
     sampling — measured ~10x the row-layout vmapped driver on v5e;
     ``fast=False`` measures the reference-semantics row driver.
+    ``eval_dtype=jnp.bfloat16`` evaluates the objective in bf16 with f32
+    solver state; ``fused=True`` runs each generation as the single Pallas
+    kernel (TPU only).
     """
+    from ..core import with_eval_dtype
     from ..solvers import de_batched as deb
 
     fn = PROBLEMS["rastrigin"].fn
+    if eval_dtype is not None:
+        fn = with_eval_dtype(fn, eval_dtype)
     x0 = jnp.full((B, dim), -0.5, jnp.float32)
 
     if fast:
         cfg = de.DEConfig(
             pop_size=pop, max_iter=1 << 30, best_value_no_change=1 << 30,
-            eps=0.0, partner_sampling="rotation",
+            eps=0.0, partner_sampling="rotation", use_fused_kernel=fused,
         )
         keys = jax.random.split(jax.random.key(0, impl="rbg"), B)
 
@@ -119,7 +126,8 @@ def bench_de_batched(
 
     med, mn = _timed(lambda: run(x0, keys), runs)
     return {
-        "name": "de_batched" + ("_fast" if fast else "_row"),
+        "name": "de_batched" + ("_fast" if fast else "_row")
+        + ("_bf16" if eval_dtype is not None else "") + ("_fused" if fused else ""),
         "instances": B,
         "generations": iters,
         "iters_per_sec": B * iters / med,

@@ -1,5 +1,6 @@
 from .driver import drive, drive_scan
-from .objective import Bounds, Objective, batch_eval, resolve_bounds, signed
+from .objective import (Bounds, Objective, batch_eval, resolve_bounds, signed,
+                        with_eval_dtype)
 from .result import SolverResult, make_result
 from .utils import clamp, max_abs, std_err, tree_where
 
@@ -15,6 +16,7 @@ __all__ = [
     "max_abs",
     "resolve_bounds",
     "signed",
+    "with_eval_dtype",
     "std_err",
     "tree_where",
 ]

@@ -33,6 +33,30 @@ def signed(fn: Objective, minimize: bool) -> Objective:
     return lambda x: -fn(x)
 
 
+def with_eval_dtype(fn: Objective, dtype) -> Objective:
+    """Evaluate ``fn`` in a reduced precision while the solver state stays
+    float32.
+
+    The wrapper casts the query point down to ``dtype`` (typically
+    ``jnp.bfloat16``), evaluates, and casts the score back up to the query's
+    original dtype, so solver bookkeeping (greedy comparisons, convergence
+    statistics, counters) is unchanged.  On TPU the VPU executes bf16
+    elementwise/transcendental work at twice the f32 lane rate and the
+    evaluation's HBM traffic halves — worthwhile for objective-bound fleets
+    (the batched-DE headline is ~80% objective evaluation, BENCH_NOTES.md).
+
+    Accuracy: bf16 has ~8 significand bits, so scores carry ~2-3 decimal
+    digits; convergence thresholds below ~1e-2 of the score's magnitude
+    cannot be resolved.  See tests/test_bf16_eval.py for the measured
+    effect on the classical test-function suite.
+    """
+    def wrapped(x: jax.Array) -> jax.Array:
+        out_dtype = x.dtype
+        return fn(x.astype(dtype)).astype(out_dtype)
+
+    return wrapped
+
+
 def batch_eval(fn: Objective, xs: jax.Array) -> jax.Array:
     """Evaluate fn over a batch of points [B, n] -> [B].
 

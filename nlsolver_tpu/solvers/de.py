@@ -65,6 +65,16 @@ class DEConfig:
     #                selection matmul and per-agent index sampling with
     #                three lane rolls — the fast path for large fleets.
     partner_sampling: str = "uniform"
+    # de_batched only: run each generation as the single fused Pallas
+    # kernel (ops/de_fused.py) — mutation, crossover, objective eval and
+    # greedy selection in one VMEM-resident pass (one HBM read + one write
+    # of the agent matrix per generation).  Requires
+    # partner_sampling="rotation"; the kernel uses the on-core PRNG
+    # (seeded per generation from the lane-0 key), so trajectories differ
+    # from the XLA path draw-for-draw while the algorithm is identical.
+    # Worth it for objectives XLA fails to fuse; for simple reduction
+    # objectives the XLA lane-roll path is ~20% faster (BENCH_NOTES.md).
+    use_fused_kernel: bool = False
 
 
 class DEState(NamedTuple):

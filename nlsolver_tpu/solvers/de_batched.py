@@ -88,6 +88,10 @@ def step(fn, state: DEBatchState, config: DEConfig) -> DEBatchState:
     done_now = (state.iteration >= config.max_iter) | hit_tol
 
     rotation = config.partner_sampling == "rotation"
+    if config.use_fused_kernel and not rotation:
+        raise ValueError(
+            "DEConfig.use_fused_kernel requires partner_sampling='rotation'"
+        )
     f_w = jnp.asarray(config.differential_weight, dtype)
 
     def propose(key, agents_i, scores_i, offs):
@@ -140,6 +144,44 @@ def step(fn, state: DEBatchState, config: DEConfig) -> DEBatchState:
             jax.random.randint(jax.random.fold_in(ko, 2), (), third + 1, 2 * third + 1),
             jax.random.randint(jax.random.fold_in(ko, 3), (), 2 * third + 1, P),
         ])
+        if config.use_fused_kernel:
+            # one Pallas kernel: mutation + crossover + objective + select,
+            # all VMEM-resident (ops/de_fused.py)
+            from ..ops.de_fused import de_generation_fused
+
+            seed = jax.random.randint(
+                jax.random.fold_in(ko, 4), (), 0, jnp.iinfo(jnp.int32).max
+            ).astype(jnp.int32)
+            tile = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if B % t == 0)
+            new_agents, new_scores = de_generation_fused(
+                fn,
+                state.agents,
+                state.scores,
+                seed,
+                offs,
+                cross_prob=float(config.crossover_prob),
+                diff_weight=float(config.differential_weight),
+                tile=tile,
+            )
+            frozen = state.done | done_now
+
+            def keep(old, new):
+                m = frozen
+                while m.ndim < new.ndim:
+                    m = m[..., None]
+                return jnp.where(m, old, new)
+
+            return DEBatchState(
+                agents=keep(state.agents, new_agents),
+                scores=keep(state.scores, new_scores),
+                best_value=best_now,
+                iteration=keep(state.iteration, state.iteration + 1),
+                nfev=keep(state.nfev, state.nfev + P),
+                val_no_change=val_no_change,
+                keys=state.keys,
+                done=state.done | done_now,
+                converged=jnp.where(state.done, state.converged, hit_tol),
+            )
         proposals, keys = jax.vmap(
             lambda key, A, s: propose(key, A, s, offs)
         )(state.keys, state.agents, state.scores)
