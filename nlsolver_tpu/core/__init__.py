@@ -1,4 +1,4 @@
-from .driver import drive, drive_scan
+from .driver import drive, drive_scan, drive_trace
 from .objective import (Bounds, Objective, batch_eval, resolve_bounds, signed,
                         with_eval_dtype)
 from .result import SolverResult, make_result
@@ -12,6 +12,7 @@ __all__ = [
     "clamp",
     "drive",
     "drive_scan",
+    "drive_trace",
     "make_result",
     "max_abs",
     "resolve_bounds",

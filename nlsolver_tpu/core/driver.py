@@ -60,3 +60,22 @@ def drive_scan(step_fn: Callable[[S], S], init_state: S, num_steps: int) -> S:
 
     final, _ = lax.scan(body, init_state, None, length=num_steps)
     return final
+
+
+def drive_trace(step_fn: Callable[[S], S], init_state: S, num_steps: int):
+    """Fixed-trip driver that also returns the full per-iteration state trace.
+
+    Returns ``(final_state, trace)`` where every leaf of ``trace`` has a
+    leading ``[num_steps]`` axis: ``trace[i]`` is the state after ``i+1``
+    steps (finished lanes frozen, exactly like :func:`drive_scan`).  This is
+    the observability hook behind :mod:`nlsolver_tpu.trace` and the
+    trajectory-parity suite — the reference offers no equivalent (its
+    per-iteration state lives in solver-local ``std::vector``\\ s and is
+    destroyed on return, nlsolver.h:2166-2299).
+    """
+
+    def body(state: S, _):
+        new_state = tree_where(state.done, state, step_fn(state))
+        return new_state, new_state
+
+    return lax.scan(body, init_state, None, length=num_steps)

@@ -37,26 +37,20 @@ _GRAD_STENCILS = {
     ),
 }
 
-# 16-point hessian stencil (accuracy >= 1, nlsolver.h:1447-1516):
-# weight, i-offset, j-offset; denominator 600 eps^2
-_HESS_STENCIL_HI = (
-    (-63.0, 1.0, -2.0),
-    (-63.0, 2.0, -1.0),
-    (-63.0, -2.0, 1.0),
-    (-63.0, -1.0, 2.0),
-    (63.0, -1.0, -2.0),
-    (63.0, -2.0, -1.0),
-    (63.0, 1.0, 2.0),
-    (63.0, 2.0, 1.0),
-    (44.0, 2.0, -2.0),
-    (44.0, -2.0, 2.0),
-    (-44.0, -2.0, -2.0),
-    (-44.0, 2.0, 2.0),
-    (74.0, -1.0, -1.0),
-    (74.0, 1.0, 1.0),
-    (-74.0, 1.0, -1.0),
-    (-74.0, -1.0, 1.0),
+# The reference's Hessian perturbs x IN PLACE with chained +=/-= increments
+# (nlsolver.h:1455-1511), so each evaluation point is a specific sequence of
+# IEEE adds, not a clean x + k*eps.  To stay bit-exact we replay the same
+# (i-increment, j-increment) op sequence; entry k is applied before eval k.
+# 16-eval high-order stencil (accuracy >= 1); groups of 4 share a weight.
+_HESS_OPS_HI = (
+    (1, -2), (1, 1), (-4, 2), (1, 1),      # group 1 (net offsets (+1,-2),(+2,-1),(-2,+1),(-1,+2)), weight -63
+    (0, -4), (-1, 1), (3, 3), (1, -1),     # group 2 ((-1,-2),(-2,-1),(+1,+2),(+2,+1)), weight +63
+    (0, -3), (-4, 4), (0, -4), (4, 4),     # group 3 ((+2,-2),(-2,+2),-(-2,-2),-(+2,+2)), weight +44
+    (-3, -3), (2, 2), (0, -2), (-2, 2),    # group 4 ((-1,-1),(+1,+1),-(+1,-1),-(-1,+1)), weight +74
 )
+# 4-eval cross stencil (accuracy 0, nlsolver.h:1427-1445):
+# f(x) + f(+e,+e) - f(+e,0) - f(0,+e), same chained-increment convention.
+_HESS_OPS_LO = ((0, 0), (1, 1), (0, -1), (-1, 1))
 
 
 @dataclass(frozen=True)
@@ -82,41 +76,83 @@ def fd_hessian_cost(n: int, accuracy: int = 1) -> int:
 
 
 def fd_gradient(fn, x: jax.Array, accuracy: int = 1) -> jax.Array:
-    """Central-difference gradient, one batched evaluation."""
+    """Central-difference gradient, one batched evaluation.
+
+    Bit-exact with the reference's scalar loop (nlsolver.h:1402-1410): the
+    perturbed points are built from the same ``x[d] + coeff2[s]*eps``
+    products and the weighted values are accumulated in the same
+    left-to-right order (``grad[d] += coeff[s]*f`` then ``/= dd*eps``), so
+    trajectory-parity tests can compare FD-driven solvers at f64 resolution.
+    """
     coeffs, offsets, dd = _GRAD_STENCILS[accuracy]
     n = x.shape[-1]
     eps = jnp.asarray(_grad_eps(x.dtype), x.dtype)
     offs = jnp.asarray(offsets, x.dtype) * eps          # [s]
-    w = jnp.asarray(coeffs, x.dtype)                    # [s]
     eye = jnp.eye(n, dtype=x.dtype)
     # [n, s, n] perturbed points: x + off_s * e_d
     pts = x[None, None, :] + offs[None, :, None] * eye[:, None, :]
     vals = jax.vmap(jax.vmap(fn))(pts)                  # [n, s]
-    return (vals @ w) / (dd * eps)
+    acc = vals[:, 0] * coeffs[0]
+    for s in range(1, len(coeffs)):
+        acc = acc + vals[:, s] * coeffs[s]
+    # the reference divides by the constexpr product dd*eps (nlsolver.h:1401).
+    # The barrier stops XLA's algebraic simplifier from strength-reducing the
+    # divide-by-constant into a multiply-by-reciprocal (1-ulp difference).
+    denom = jax.lax.optimization_barrier(
+        jnp.asarray(dd * _grad_eps(x.dtype), acc.dtype)
+    )
+    return acc / denom
 
 
 def fd_hessian(fn, x: jax.Array, accuracy: int = 1) -> jax.Array:
-    """Finite-difference Hessian, one batched evaluation of all entries."""
+    """Finite-difference Hessian, one batched evaluation of all entries.
+
+    Bit-exact with the reference's in-place perturbation loops
+    (nlsolver.h:1427-1511): evaluation points replay the same chained
+    +=/-= increment sequences (including the aliased i == j case, where
+    both increments land on the same coordinate), and the grouped
+    accumulation order matches (``temp`` sums of 4, then
+    ``result -=/+= w*temp``, then one divide).
+    """
     n = x.shape[-1]
-    eps = jnp.asarray(_hess_eps(x.dtype), x.dtype)
-    eye = jnp.eye(n, dtype=x.dtype)
+    eps = _hess_eps(x.dtype)                   # python float, exact constant
+    epsa = jnp.asarray(eps, x.dtype)
+    ops = _HESS_OPS_LO if accuracy == 0 else _HESS_OPS_HI
+    # chained coordinate values: vi/vj for the off-diagonal roles, vd for the
+    # aliased diagonal (i == j) where both increments hit one coordinate
+    vi = vj = vd = x
+    ci, cj, cd = [], [], []
+    for oi, oj in ops:
+        if oi:
+            vi = vi + oi * epsa
+            vd = vd + oi * epsa
+        if oj:
+            vj = vj + oj * epsa
+            vd = vd + oj * epsa
+        ci.append(vi)
+        cj.append(vj)
+        cd.append(vd)
+    K = len(ops)
+    ci = jnp.stack(ci)[None, None]             # [1, 1, K, n]
+    cj = jnp.stack(cj)[None, None]
+    cd = jnp.stack(cd)[None, None]
+    eye = jnp.eye(n, dtype=bool)
+    mi = eye[:, None, None, :]                 # [n, 1, 1, n]
+    mj = eye[None, :, None, :]                 # [1, n, 1, n]
+    # [n, n, K, n]: coordinate i takes the i-role chain, j the j-role chain,
+    # the diagonal (i == j) the aliased chain, everything else stays at x
+    pts = jnp.where(mi & mj, cd, jnp.where(mi, ci, jnp.where(mj, cj, x)))
+    vals = jax.vmap(jax.vmap(jax.vmap(fn)))(pts)            # [n, n, K]
+    v = [vals[..., k] for k in range(K)]
     if accuracy == 0:
-        # 4-eval cross stencil (nlsolver.h:1427-1445):
-        # (f(x) + f(x+ei+ej) - f(x+ei) - f(x+ej)) / eps^2  -- note the
-        # reference evaluates f(x) fresh per entry; value identical
-        stencil = ((1.0, 0.0, 0.0), (1.0, 1.0, 1.0), (-1.0, 1.0, 0.0), (-1.0, 0.0, 1.0))
+        result = ((v[0] + v[1]) - v[2]) - v[3]
         denom = eps * eps
     else:
-        stencil = _HESS_STENCIL_HI
-        denom = 600.0 * eps * eps
-    w = jnp.asarray([s[0] for s in stencil], x.dtype)       # [k]
-    oi = jnp.asarray([s[1] for s in stencil], x.dtype)      # [k]
-    oj = jnp.asarray([s[2] for s in stencil], x.dtype)      # [k]
-    # [n, n, k, n] points: x + oi*eps*e_i + oj*eps*e_j
-    pts = (
-        x[None, None, None, :]
-        + eps * oi[None, None, :, None] * eye[:, None, None, :]
-        + eps * oj[None, None, :, None] * eye[None, :, None, :]
-    )  # [n, n, k, n]
-    vals = jax.vmap(jax.vmap(jax.vmap(fn)))(pts)            # [n, n, k]
-    return (vals @ w) / denom
+        g1 = ((v[0] + v[1]) + v[2]) + v[3]
+        g2 = ((v[4] + v[5]) + v[6]) + v[7]
+        g3 = ((v[8] + v[9]) - v[10]) - v[11]
+        g4 = ((v[12] + v[13]) - v[14]) - v[15]
+        result = (((0.0 - 63.0 * g1) + 63.0 * g2) + 44.0 * g3) + 74.0 * g4
+        denom = (600.0 * eps) * eps            # nlsolver.h:1448 constant order
+    # barrier: keep the true divide (see fd_gradient)
+    return result / jax.lax.optimization_barrier(jnp.asarray(denom, x.dtype))

@@ -79,11 +79,17 @@ def rank2_update(H, s, y, rho, reference_quirk: bool = False):
     """BFGS inverse-Hessian rank-2 update (batched-friendly pure form)."""
     Hy = H @ y
     yHy = jnp.dot(y, Hy)
+    if reference_quirk:
+        # nlsolver.h:3143-3163, reproduced with the reference's exact
+        # arithmetic order for trajectory parity: denom = (yHy*rho) + 1,
+        # H[j,i] -= rho*((s[i]*Hy[j] + Hy[i]*s[j]) + denom*s[i]*s[j]) —
+        # all three terms subtracted (the s s^T term has the wrong sign
+        # relative to the Sherman-Morrison form).
+        denom = yHy * rho + 1.0
+        T = (jnp.outer(Hy, s) + jnp.outer(s, Hy)) + jnp.outer(s, denom * s)
+        return H - rho * T
     coef = rho * (1.0 + rho * yHy)
     sym = jnp.outer(s, Hy) + jnp.outer(Hy, s)
-    if reference_quirk:
-        # nlsolver.h:3143-3163: denom=(rho*yHy+1), all three terms subtracted
-        return H - rho * sym - coef * jnp.outer(s, s)
     return H - rho * sym + coef * jnp.outer(s, s)
 
 

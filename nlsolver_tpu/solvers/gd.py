@@ -88,6 +88,16 @@ class GDConfig:
     bigstep_level: int = 5
     lipschitz_scaling: bool = True  # bigstep: divide step by max grad norm seen
     deriv: Deriv = field(default_factory=Deriv)
+    # "default": correct gradient descent.  "reference": trajectory parity
+    # with two reference quirks (verified in tests/test_trajectory_parity.py):
+    #   * for step types that do not recompute the step size each iteration
+    #     (fixed, page), `alpha_ *= f_multiplier` (nlsolver.h:3014) compounds
+    #     across iterations, so minimization ALTERNATES descent (even
+    #     iterations, 0-based) and ascent (odd iterations);
+    #   * PAGE's switch probability p = minibatch/(minibatch'+minibatch) is
+    #     size_t integer division (nlsolver.h:2944-2945) = 0, so the
+    #     gradient correction branch is taken every iteration.
+    variant: str = "default"
 
 
 class GDState(NamedTuple):
@@ -159,6 +169,11 @@ def step(fn: Objective, state: GDState, config: GDConfig) -> GDState:
             alpha = alpha / max_grad_norm
     # fixed & page: alpha unchanged
 
+    if config.variant == "reference" and config.step_type in ("fixed", "page"):
+        # nlsolver.h:3014: alpha_ *= f_multiplier compounds every iteration,
+        # flipping the step direction — descent on even iterations only.
+        alpha = jnp.where(state.iteration % 2 == 0, alpha, -alpha)
+
     new_x = state.x - alpha * state.gradient
     new_grad = grad_fn(new_x)
     nfev = nfev + g_cost
@@ -169,7 +184,11 @@ def step(fn: Objective, state: GDState, config: GDConfig) -> GDState:
         # PAGE (arXiv:2008.10898-style probabilistic gradient correction;
         # reference nlsolver.h:3018-3031).  With probability 1-p use the
         # cheap correction grad + ratio*(grad - prev_grad).
-        p = config.minibatch / (config.minibatch_prime + config.minibatch)
+        if config.variant == "reference":
+            # size_t division: 128 // (11 + 128) == 0 (nlsolver.h:2944-2945)
+            p = config.minibatch // (config.minibatch_prime + config.minibatch)
+        else:
+            p = config.minibatch / (config.minibatch_prime + config.minibatch)
         ratio = config.minibatch / config.minibatch_prime
         key, k_u = jax.random.split(state.key)
         u = jax.random.uniform(k_u, (), dtype=dtype)

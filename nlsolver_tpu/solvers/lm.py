@@ -40,6 +40,16 @@ class LMConfig:
     max_iter: int = 100
     f_delta: float = 1e-12
     deriv: Deriv = field(default_factory=Deriv)
+    # "default": damped Cholesky solve (damped_solve).  "reference":
+    # trajectory parity with get_update_with_hessian (nlsolver.h:296-330):
+    #   * its diagonality test has no abs() (`A[i*n+j] > eps*1e12`, :301-302),
+    #     so a Hessian whose off-diagonals are all <= ~2.2e-4 — including
+    #     large NEGATIVE ones (e.g. Rosenbrock's -400x cross term for x > 0) —
+    #     takes the elementwise g_i/H_ii fast path, silently ignoring the
+    #     off-diagonal terms;
+    #   * otherwise an in-place Cholesky + forward/back solve in the
+    #     reference's exact arithmetic order (:252-294).
+    variant: str = "default"
 
 
 class LMState(NamedTuple):
@@ -64,6 +74,56 @@ def damped_solve(hessian: jax.Array, gradient: jax.Array, lam) -> jax.Array:
     H = hessian + lam * jnp.eye(n, dtype=hessian.dtype)
     c, low = jsl.cho_factor(H)
     return jsl.cho_solve((c, low), gradient)
+
+
+def _reference_damped_solve(H, g, lam):
+    """(H + lam I) u = g exactly as the reference computes it
+    (nlsolver.h:296-330; see LMConfig.variant docstring).  The static-n
+    Python loops unroll at trace time — this path exists for parity testing
+    and small n; production fleets use :func:`damped_solve` / ops.smallchol.
+    """
+    n = g.shape[-1]
+    dtype = g.dtype
+    Hd = H + lam * jnp.eye(n, dtype=dtype)
+    # signed diagonality test (:301-302): no abs()
+    thr = float(jnp.finfo(dtype).eps) * 1e12
+    off = ~jnp.eye(n, dtype=bool)
+    is_diag = ~jnp.any(off & (Hd > thr))
+    diag_update = g / jnp.diagonal(Hd)
+
+    # in-place Cholesky (:252-270) with the reference's exact op order,
+    # including its (1/A_jj) * (A_ij - sum) reciprocal-then-multiply; the
+    # barrier keeps XLA from rewriting it back into a divide
+    A = [[Hd[i, j] for j in range(n)] for i in range(n)]
+    zero = jnp.asarray(0.0, dtype)
+    for i in range(n):
+        for j in range(i):
+            s = zero
+            for k in range(j):
+                s = s + A[i][k] * A[j][k]
+            rcp = 1.0 / A[j][j]
+            A[i][j] = rcp * (A[i][j] - s)
+        s = zero
+        for k in range(i):
+            s = s + A[i][k] * A[i][k]
+        # barrier the diagonal: stops XLA from fusing downstream 1/sqrt and
+        # y/sqrt into (non-correctly-rounded) rsqrt forms
+        A[i][i] = jax.lax.optimization_barrier(jnp.sqrt(A[i][i] - s))
+    # forwardsolve_inplace (:283-294)
+    u = [None] * n
+    for i in range(n):
+        s = zero
+        for j in range(i):
+            s = s + A[i][j] * u[j]
+        u[i] = (g[i] - s) / A[i][i]
+    # backsolve_inplace_t (:271-282)
+    for i in range(n - 1, -1, -1):
+        s = zero
+        for j in range(i + 1, n):
+            s = s + A[j][i] * u[j]
+        u[i] = (u[i] - s) / A[i][i]
+    chol_update = jnp.stack(u)
+    return jnp.where(is_diag, diag_update, chol_update)
 
 
 def init(fn: Objective, x0: jax.Array, config: LMConfig) -> LMState:
@@ -101,7 +161,10 @@ def step(fn: Objective, state: LMState, config: LMConfig) -> LMState:
     )
     halted = state._replace(done=jnp.asarray(True), converged=hit_tol)
 
-    update = damped_solve(state.hessian, state.gradient, state.lam)
+    if config.variant == "reference":
+        update = _reference_damped_solve(state.hessian, state.gradient, state.lam)
+    else:
+        update = damped_solve(state.hessian, state.gradient, state.lam)
     new_x = state.x - update
     new_f = fn(new_x)
     new_g = grad_fn(new_x)

@@ -54,11 +54,22 @@ class NelderMeadConfig:
     no_change_best_tol: int = 20
     restarts: int = 0
     # "textbook" (default): standard Nelder-Mead branch logic.
-    # "reference": parity with the reference's quirks — its "second worst"
-    #   is the previous running-max index at the last worst-update
-    #   (nlsolver.h:2217-2219), and its contraction computes
-    #   c + rho*(c - point) (nlsolver.h:2266-2275), the opposite orientation
-    #   from the textbook method.
+    # "reference": trajectory-level parity with the reference's quirks —
+    #   * its "second worst" is the previous running-max index at the last
+    #     worst-update (nlsolver.h:2217-2219);
+    #   * its contraction computes c + rho*(c - point) (nlsolver.h:2266-2275),
+    #     the opposite orientation from the textbook method;
+    #   * its simplex init is off by one: vertex i perturbs dimension i for
+    #     i = 1..n-1 and vertex n's perturbation is an out-of-bounds write
+    #     (`init_simplex[i][i] += scale` with i = n, nlsolver.h:1929-1931)
+    #     that lands in allocator slack and is lost, so vertex n stays at x
+    #     and dimension 0 is only spanned by vertex 0's uniform shift;
+    #   * the centroid is only recomputed when the worst index changed or
+    #     after a shrink (nlsolver.h:2240-2243), starting from a ZERO vector
+    #     and prev_worst = 0 (nlsolver.h:2191-2197) — iteration 1 reflects
+    #     through the origin whenever the initial worst vertex is index 0.
+    #   (verified step-for-step against the reference binary:
+    #   tests/test_trajectory_parity.py)
     variant: str = "textbook"
 
 
@@ -70,21 +81,37 @@ class NMState(NamedTuple):
     last_best: jax.Array
     no_change_iter: jax.Array
     eps: jax.Array            # rescaled tolerance (nlsolver.h:2189)
+    centroid: jax.Array       # [n] cached centroid (reference variant only)
+    prev_worst: jax.Array     # worst index of the previous iteration
+    shrunk: jax.Array         # previous iteration ended in a shrink
     done: jax.Array
     converged: jax.Array
 
 
-def init_simplex(x0: jax.Array, step: float) -> jax.Array:
-    """Gao/Han (or fixed-step) initial simplex (nlsolver.h:1910-1947)."""
+def init_simplex(x0: jax.Array, step: float, variant: str = "textbook") -> jax.Array:
+    """Gao/Han (or fixed-step) initial simplex (nlsolver.h:1910-1947).
+
+    ``variant="reference"`` reproduces the reference's off-by-one
+    perturbation (nlsolver.h:1929-1931, 1941-1943): ``vals[i][i] += scale``
+    for i = 1..n perturbs dimension i of vertex i, so vertex i spans
+    dimension i (not i-1) and vertex n's write lands one element past its
+    buffer — observably, vertex n stays at x.
+    """
     n = x0.shape[-1]
-    eye = jnp.eye(n, dtype=x0.dtype)
+    if variant == "reference":
+        pert = jnp.zeros((n, n), dtype=x0.dtype)
+        if n > 1:
+            idx = jnp.arange(n - 1)
+            pert = pert.at[idx, idx + 1].set(1.0)
+    else:
+        pert = jnp.eye(n, dtype=x0.dtype)
     if step < 0:
         x_inf = jnp.max(jnp.abs(x0))
         scale = jnp.clip(x_inf, 1.0, 10.0).astype(x0.dtype)
-        vertices = x0[None, :] + scale * eye          # vertices 1..n
+        vertices = x0[None, :] + scale * pert         # vertices 1..n
         v0 = x0 + ((1.0 - jnp.sqrt(n + 1.0)) / n * scale).astype(x0.dtype)
         return jnp.concatenate([v0[None, :], vertices], axis=0)
-    vertices = x0[None, :] + jnp.asarray(step, x0.dtype) * eye
+    vertices = x0[None, :] + jnp.asarray(step, x0.dtype) * pert
     return jnp.concatenate([x0[None, :], vertices], axis=0)
 
 
@@ -94,7 +121,7 @@ def init(
     config: NelderMeadConfig,
     bounds: Optional[Bounds] = None,
 ) -> NMState:
-    simplex = init_simplex(x0, config.step)
+    simplex = init_simplex(x0, config.step, config.variant)
     scores = batch_eval(fn, simplex)
     # relative tolerance rescale using the first vertex's score
     # (nlsolver.h:2189: eps = eps * (scores[0] * eps))
@@ -109,6 +136,11 @@ def init(
         last_best=jnp.int32(-1),
         no_change_iter=jnp.int32(0),
         eps=eps,
+        # the reference's centroid cache starts as a ZERO vector with
+        # prev_worst = 0 (nlsolver.h:2191-2197)
+        centroid=jnp.zeros_like(x0),
+        prev_worst=jnp.int32(0),
+        shrunk=jnp.asarray(False),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
     )
@@ -170,7 +202,25 @@ def step(
         return jnp.clip(x, lower, upper) if bounded else x
 
     x_worst = simplex[worst]
-    centroid = (jnp.sum(simplex, axis=0) - x_worst) / n
+    if reference_variant:
+        # bit-exact with update_centroid (nlsolver.h:1965-1984): accumulate
+        # vertices in index order, skipping the worst, then divide.  (The
+        # default path's (sum - worst)/n differs by ~1 ulp, which chaotic
+        # problems amplify; masked add-of-zero is IEEE-exact.)  n1 is static,
+        # so this unrolls at trace time — parity tooling only.
+        zero = jnp.zeros_like(x_worst)
+        acc = zero
+        for i in range(n1):
+            acc = acc + jnp.where(worst == i, zero, simplex[i])
+        fresh_centroid = acc / n
+        # the reference only recomputes the centroid when the worst index
+        # changed or the previous iteration shrank (nlsolver.h:2240-2243);
+        # otherwise the cached buffer is reused — including the initial
+        # ZERO vector on iteration 1 when the first worst is index 0.
+        recompute = (worst != state.prev_worst) | state.shrunk
+        centroid = jnp.where(recompute, fresh_centroid, state.centroid)
+    else:
+        centroid = (jnp.sum(simplex, axis=0) - x_worst) / n
 
     alpha = jnp.asarray(config.alpha, simplex.dtype)
     gamma = jnp.asarray(config.gamma, simplex.dtype)
@@ -258,6 +308,9 @@ def step(
         last_best=best,
         no_change_iter=no_change,
         eps=state.eps,
+        centroid=centroid,
+        prev_worst=worst,
+        shrunk=evals == (1 + n1),  # only the shrink branch costs 1+n1 evals
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
     )

@@ -94,14 +94,23 @@ def bisection(fn, lower, upper, eps=1e-6, max_iter=200) -> RootResult:
     return _merge(ok, res, a.dtype)
 
 
-def false_position(fn, lower, upper, eps=1e-6, max_iter=200) -> RootResult:
-    """Regula falsi (nlsolver.h:3963-4000; the reference's val_b=mid bug is
-    fixed here)."""
+def false_position(fn, lower, upper, eps=1e-6, max_iter=200,
+                   variant="fixed") -> RootResult:
+    """Regula falsi (nlsolver.h:3963-4000).
+
+    Default fixes two reference quirks; ``variant="reference"`` reproduces
+    them for trajectory parity:
+      * the reference keeps the FUNCTION-VALUE slot of the upper bracket as
+        the midpoint COORDINATE (``val_b = mid``, nlsolver.h:3996);
+      * its side test is ``val < 0`` / ``val > 0`` (assumes f increasing
+        through the root) rather than sign-aware.
+    """
     a = jnp.asarray(lower, jnp.result_type(lower, upper, float))
     b = jnp.asarray(upper, a.dtype)
     fa = fn(a)
     fb = fn(b)
     ok = fa * fb < 0
+    reference = variant == "reference"
 
     def cond(s):
         return ~s[-1]
@@ -112,11 +121,11 @@ def false_position(fn, lower, upper, eps=1e-6, max_iter=200) -> RootResult:
         v = fn(mid)
         nfev = nfev + 1
         stop = (jnp.abs(v) < eps) | (it > max_iter)
-        same_side = v * fa > 0
+        same_side = v < 0 if reference else v * fa > 0
         new_a = jnp.where(same_side, mid, a)
         new_fa = jnp.where(same_side, v, fa)
         new_b = jnp.where(same_side, b, mid)
-        new_fb = jnp.where(same_side, fb, v)
+        new_fb = jnp.where(same_side, fb, jnp.where(reference, mid, v))
         keep = lambda old, new: jnp.where(stop, old, new)
         return (
             keep(a, new_a),
@@ -176,7 +185,9 @@ def brent(fn, lower, upper, tol=1e-12, max_iter=200) -> RootResult:
             + (s.c * s.fa * s.fb)
             / (jnp.where(s.fc == s.fa, 1.0, s.fc - s.fa) * jnp.where(s.fc == s.fb, 1.0, s.fc - s.fb))
         )
-        secant = s.b - s.fb * ((s.b - s.a) / denom_ab)
+        # reference divides by (val_b - val_a) (nlsolver.h:4033); -denom_ab
+        # is bit-identical to fb - fa (IEEE negation is exact)
+        secant = s.b - s.fb * ((s.b - s.a) / -denom_ab)
         cand = jnp.where(use_iqi, iqi, secant)
 
         cond_bisect = (

@@ -1,0 +1,121 @@
+"""Trajectory-level parity against the reference binary.
+
+Golden data: tests/data/reference_trajectories.tsv (tools/traj_probe.cpp run
+against /root/reference/nlsolver.h with ``g++ -O2 -DNO_MANUAL_VECTORIZATION``)
+records, for each deterministic (solver, problem) pair and every prefix
+length k, where the reference lands when run with ``max_iter=k`` from the
+canonical start point.  We re-run the same prefixes with reference-parity
+flags and compare iterates, f-values, and the iteration/function-call
+counters.
+
+Parity classes (all measured, see each table below):
+
+* **Bit-exact x** — Nelder-Mead (all 30 prefixes x 3 problems), the Brent
+  minimizer, and the bracketing root finders.  These algorithms only
+  multiply by powers of two (alpha=1, gamma=2, rho/sigma=0.5, bisection
+  midpoints) or compare f-values, so they are immune to the one platform
+  difference we cannot remove (below).
+
+* **Counter-exact, x within documented drift** — the FD-gradient solvers
+  (GD x4, CGD, BFGS, LM).  Root cause of the drift, verified in isolation:
+  XLA:CPU contracts ``a*b + c`` into FMA while the golden probe binary
+  (plain ``-O2``, baseline x86-64, no FMA ISA) cannot, so objective
+  evaluations differ by ~1 ulp at arbitrary points.  The reference's FD
+  stencils divide those evaluations by eps ~ 2.2e-8 (nlsolver.h:1389), so a
+  1-ulp f difference becomes a ~1e-8 relative gradient difference at the
+  very first iteration; iteration counts and f-eval counters still match
+  exactly, and the iterate drift stays at the measured levels except where
+  the underlying dynamics are chaotic (CGD on Rosenbrock's curved valley,
+  where linesearch branch flips amplify 1e-10 to 1e-2 over 30 iterations —
+  the reference binary is equally sensitive to its own compile flags there).
+
+Everything here runs in f64 on CPU (conftest).
+"""
+import pytest
+
+from trajectory_common import compare_pair, load_golden
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return load_golden()
+
+
+# (solver, problem) -> (dx tolerance, max k for the dx assertion or None)
+# Tolerances are measured max drift x ~10 headroom; None = all recorded ks.
+DX_TOL = {
+    ("nm", "booth"): (0.0, None),
+    ("nm", "mccormick"): (0.0, None),
+    ("nm", "rosenbrock"): (0.0, None),
+    ("brent_min", "quartic1d"): (0.0, None),
+    ("root_bisection", "cubic"): (0.0, None),
+    ("root_brent", "cubic"): (0.0, None),
+    ("root_chandrupatla", "cubic"): (0.0, None),
+    ("root_itp", "cubic"): (0.0, None),
+    ("root_ridders", "cubic"): (0.0, None),
+    ("root_tiruneh", "cubic"): (0.0, None),
+    # 1 ulp: the reference's val_b=mid quirk stores a coordinate in a
+    # value slot; reproducing it still leaves one contraction-prone divide
+    ("root_false_position", "cubic"): (5e-15, None),
+    ("gd_fixed", "booth"): (1e-6, None),
+    ("gd_fixed", "rosenbrock"): (1e-7, None),
+    ("gd_anneal", "booth"): (1e-6, None),
+    ("gd_anneal", "rosenbrock"): (1e-7, None),
+    ("gd_bigstep", "booth"): (1e-6, None),
+    ("gd_bigstep", "rosenbrock"): (1e-6, None),
+    ("gd_linesearch", "booth"): (1e-4, None),
+    ("gd_linesearch", "mccormick"): (1e-6, None),
+    ("gd_linesearch", "rosenbrock"): (1e-5, None),
+    ("cgd", "booth"): (1e-6, None),
+    # chaotic: ~1e-10 drift at k<=8 doubles every iteration once the
+    # Armijo step-halving count flips; assert the tight prefix only
+    ("cgd", "rosenbrock"): (1e-6, 12),
+    ("bfgs", "booth"): (1e-4, None),
+    ("bfgs", "mccormick"): (1e-6, None),
+    ("bfgs", "rosenbrock"): (1e-5, None),
+    ("lm", "booth"): (1e-6, None),
+    ("lm", "rosenbrock"): (1e-6, None),
+}
+
+# pairs where the per-k f-eval counters are allowed to diverge past some k:
+# by then the iterates sit at the ~1e-8 gradient-noise floor (or, for CGD,
+# have diverged chaotically), where More-Thuente trial counts flip on 1-ulp
+# differences.  Iteration counts still match everywhere.
+NFEV_EXEMPT_AFTER = {
+    ("cgd", "rosenbrock"): 21,
+    ("gd_linesearch", "mccormick"): 14,
+    ("gd_linesearch", "rosenbrock"): 26,
+}
+
+PAIRS = sorted(DX_TOL)
+
+
+def test_golden_covers_all_pairs(golden):
+    assert sorted(golden) == PAIRS
+
+
+@pytest.mark.parametrize("solver,problem", PAIRS,
+                         ids=[f"{s}-{p}" for s, p in PAIRS])
+def test_trajectory(golden, solver, problem):
+    rows = golden[(solver, problem)]
+    per_k = compare_pair(solver, problem, rows)
+    tol, max_k = DX_TOL[(solver, problem)]
+    nfev_after = NFEV_EXEMPT_AFTER.get((solver, problem))
+    bad = []
+    for r in per_k:
+        if not r["iters_match"]:
+            bad.append(f"k={r['k']}: iteration counter mismatch")
+        if not r["nfev_match"] and (nfev_after is None or r["k"] <= nfev_after):
+            bad.append(f"k={r['k']}: nfev counter mismatch")
+        if (max_k is None or r["k"] <= max_k) and not r["dx"] <= tol:
+            bad.append(f"k={r['k']}: dx={r['dx']:.3e} > {tol:g}")
+    assert not bad, f"{solver}/{problem}: " + "; ".join(bad[:8])
+
+
+def test_exact_pair_count(golden):
+    """The 10 power-of-two-arithmetic pairs must stay bit-exact: a
+    regression that breaks exactness (e.g. reordering the NM centroid
+    accumulation, nlsolver.h:1965-1984) shows up here even if it stays
+    under some tolerance."""
+    n_exact_pairs = sum(1 for pair, (tol, _) in DX_TOL.items() if tol == 0.0)
+    assert n_exact_pairs == 10
