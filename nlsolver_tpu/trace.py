@@ -24,7 +24,23 @@ import jax.numpy as jnp
 
 from .core.driver import drive_trace
 from .core.objective import resolve_bounds
-from .solvers import bfgs, cgd, gd, lm, nelder_mead
+from .solvers import bfgs, cgd, de_reference, gd, lm, nelder_mead
+
+
+def _de_ref(fn, x0, config, num_steps, bounds):
+    state0 = de_reference.init(fn, x0, config)
+    _, tr = drive_trace(
+        lambda s: de_reference.step(fn, s, config), state0, num_steps
+    )
+    best = jax.vmap(de_reference.report_best)(tr)
+    take = jax.vmap(lambda a, b: a[b])
+    return {
+        "x": take(tr.agents, best),
+        "f": take(tr.scores, best),
+        "iteration": tr.iteration,
+        "nfev": tr.nfev,
+        "done": tr.done,
+    }
 
 
 def _nm(fn, x0, config, num_steps, bounds):
@@ -71,6 +87,7 @@ _FAMILIES = {
     "cgd": (_plain(cgd, False), cgd.CGDConfig),
     "bfgs": (_plain(bfgs, False), bfgs.BFGSConfig),
     "lm": (_plain(lm, False), lm.LMConfig),
+    "de_reference": (_de_ref, de_reference.DEReferenceConfig),
 }
 
 

@@ -14,7 +14,10 @@ Parity classes (all measured, see each table below):
   minimizer, and the bracketing root finders.  These algorithms only
   multiply by powers of two (alpha=1, gamma=2, rho/sigma=0.5, bisection
   midpoints) or compare f-values, so they are immune to the one platform
-  difference we cannot remove (below).
+  difference we cannot remove (below).  Also bit-exact: the STOCHASTIC DE
+  family (4 configs), replayed draw-for-draw on the bit-parity reference
+  RNGs by solvers/de_reference.py — including the data-dependent
+  rejection-sampling draw counts and in-generation greedy replacement.
 
 * **Counter-exact, x within documented drift** — the FD-gradient solvers
   (GD x4, CGD, BFGS, LM).  Root cause of the drift, verified in isolation:
@@ -75,6 +78,14 @@ DX_TOL = {
     ("bfgs", "rosenbrock"): (1e-5, None),
     ("lm", "booth"): (1e-6, None),
     ("lm", "rosenbrock"): (1e-6, None),
+    # stochastic family: DE replayed draw-for-draw on the bit-parity
+    # reference RNGs (solvers/de_reference.py) — bit-exact iterates.
+    # (Stored scores may carry 1-ulp objective-eval noise, but no accept
+    # or best-scan decision flips on these trajectories.)
+    ("de_rand_xorshift", "rosenbrock"): (0.0, None),
+    ("de_rand_xorshift", "booth"): (0.0, None),
+    ("de_best_xorshift", "rosenbrock"): (0.0, None),
+    ("de_rand_xoshiro", "rosenbrock"): (0.0, None),
 }
 
 # pairs where the per-k f-eval counters are allowed to diverge past some k:
@@ -113,9 +124,10 @@ def test_trajectory(golden, solver, problem):
 
 
 def test_exact_pair_count(golden):
-    """The 10 power-of-two-arithmetic pairs must stay bit-exact: a
+    """The 14 bit-exact pairs (power-of-two-arithmetic deterministic
+    solvers + the draw-for-draw DE replays) must stay bit-exact: a
     regression that breaks exactness (e.g. reordering the NM centroid
-    accumulation, nlsolver.h:1965-1984) shows up here even if it stays
-    under some tolerance."""
+    accumulation, nlsolver.h:1965-1984, or losing the DE donor
+    decontraction) shows up here even if it stays under some tolerance."""
     n_exact_pairs = sum(1 for pair, (tol, _) in DX_TOL.items() if tol == 0.0)
-    assert n_exact_pairs == 10
+    assert n_exact_pairs == 14

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from nlsolver_tpu import trace
 from nlsolver_tpu.deriv import Deriv
 from nlsolver_tpu.problems import PROBLEMS
-from nlsolver_tpu.solvers import bfgs, brent, cgd, gd, lm, nelder_mead, rootfind
+from nlsolver_tpu.solvers import (bfgs, brent, cgd, de_reference, gd, lm,
+                                  nelder_mead, rootfind)
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
                       "reference_trajectories.tsv")
@@ -186,6 +187,25 @@ def run_brent_min(problem, ks):
     return out
 
 
+# stochastic family: the reference DE replayed draw-for-draw on the
+# bit-parity reference RNGs (solvers/de_reference.py)
+DE_CONFIGS = {
+    "de_rand_xorshift": dict(strategy="random", rng="xorshift"),
+    "de_best_xorshift": dict(strategy="best", rng="xorshift"),
+    "de_rand_xoshiro": dict(strategy="random", rng="xoshiro"),
+}
+
+
+def _run_de(solver, problem, ks):
+    K = max(ks)
+    cfg = de_reference.DEReferenceConfig(max_iter=K + 1, **DE_CONFIGS[solver])
+    tr = jax.jit(
+        lambda x0: trace.trajectory("de_reference", _problem_fn(problem), x0,
+                                    cfg, num_steps=K)
+    )(_x0(problem))
+    return _from_trace(tr, ks)
+
+
 _ROOT_FNS = {
     "root_bisection": lambda k: rootfind.bisection(cubic, 1.0, 3.0, 1e-6, k),
     "root_false_position": lambda k: rootfind.false_position(
@@ -223,6 +243,7 @@ RUNNERS = {
     "brent_min": run_brent_min,
 }
 RUNNERS.update({name: partial(_run_root, name) for name in _ROOT_FNS})
+RUNNERS.update({name: partial(_run_de, name) for name in DE_CONFIGS})
 
 
 def compare_pair(solver, problem, golden_rows, max_k=None):

@@ -154,6 +154,23 @@ static void sweep_brent_min(size_t K = 40) {
   }
 }
 
+// Stochastic family: DE with the reference's own RNG functors.  Our side
+// replays the identical draw sequence through the bit-parity generators in
+// nlsolver_tpu/random/reference_rngs.py (solvers/de_reference.py).
+template <typename Problem, typename RNG, nlsolver::RecombinationStrategy S>
+static void sweep_de(const std::string &sname, const std::string &pname,
+                     size_t K = 30) {
+  for (size_t k = 1; k <= K; ++k) {
+    Problem f;
+    vec x = start2();
+    RNG gen;  // default ctor: splitmix(12374563468) seeding quirks included
+    nlsolver::DE<Problem, RNG, double, S> solver(f, gen, 0.9, 0.8, 10e-4, 50,
+                                                 k, 50);
+    auto status = solver.minimize(x);
+    emit(sname, pname, k, status, x);
+  }
+}
+
 static void sweep_roots() {
   const double lo = 1.0, hi = 3.0;
   for (size_t k = 1; k <= 12; ++k) {
@@ -240,5 +257,12 @@ int main() {
 
   sweep_brent_min();
   sweep_roots();
+
+  using XS = nlsolver::rng::xorshift<double>;
+  using XO = nlsolver::rng::xoshiro<double>;
+  sweep_de<Rosenbrock, XS, nlsolver::random>("de_rand_xorshift", "rosenbrock");
+  sweep_de<Booth, XS, nlsolver::random>("de_rand_xorshift", "booth");
+  sweep_de<Rosenbrock, XS, nlsolver::best>("de_best_xorshift", "rosenbrock");
+  sweep_de<Rosenbrock, XO, nlsolver::random>("de_rand_xoshiro", "rosenbrock");
   return 0;
 }
