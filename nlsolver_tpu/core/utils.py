@@ -20,6 +20,25 @@ def max_abs(x: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(x))
 
 
+def exact_product(x: jax.Array) -> jax.Array:
+    """Identity that keeps a product from being FMA-contracted into a
+    following add.
+
+    The trajectory-parity golden binaries target baseline x86-64 (no FMA
+    ISA), so ``a + w*b`` there rounds the product and the sum separately;
+    XLA:CPU's LLVM pipeline otherwise fuses the pair into one fmuladd
+    (e.g. it evaluates ``(z + a*p) + b*s`` as ``fma(b, s, fma(a, p, z))``
+    — measured).  Wrapping the product in this helper restores separate
+    rounding.  Implementation: a 2-element sort is a runtime library call
+    on XLA:CPU, a true optimization boundary — ``optimization_barrier``,
+    selects on runtime predicates, and int-bitcast round-trips are all
+    folded away by the fast-math pipeline (each verified ineffective on
+    a 4000-sample probe; the sort gives 0/4000 mismatches vs the no-FMA
+    reference arithmetic).  Parity/debug paths only — never on the
+    production hot path."""
+    return jnp.sort(jnp.stack([x, x]))[0]
+
+
 def std_err(scores: jax.Array, axis: int = -1) -> jax.Array:
     """Sample standard deviation of scores (reference: std_err,
     nlsolver.h:2037-2052 — divides by n-1, despite the name it is not a

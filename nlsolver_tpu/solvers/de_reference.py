@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core import Objective, SolverResult, batch_eval, drive, make_result, signed
-from ..core.utils import std_err, tree_where
+from ..core.utils import exact_product, std_err, tree_where
 from ..random import reference_rngs
 
 
@@ -132,15 +132,6 @@ def step(fn: Objective, state: DERefState, config: DEReferenceConfig) -> DERefSt
     pop_f = jnp.asarray(float(pop), dtype)
     n_f = jnp.asarray(float(n), dtype)
 
-    def uncontracted(x):
-        """Route a product through a select on a runtime-opaque predicate so
-        the consuming add cannot be FMA-contracted.  The golden probe binary
-        targets baseline x86-64 (no FMA ISA), so every mul/add rounds
-        separately there; XLA:CPU's LLVM pipeline otherwise pairs
-        ``a + F*(b-c)`` into fmuladd even across lax.optimization_barrier
-        (verified empirically — barriers and bitcast round-trips both get
-        simplified away, a select on a loop-carried value does not)."""
-        return jnp.where(state.iteration >= 0, x, jnp.zeros_like(x))
 
     def agent_body(carry, i):
         agents, scores, rng, nfev = carry
@@ -176,7 +167,9 @@ def step(fn: Objective, state: DERefState, config: DEReferenceConfig) -> DERefSt
         def dim_body(rng_c, j):
             u_j, rng_c = nxt(rng_c)
             mutate = (u_j < cp) | (j == forced)
-            donor = agents[r1, j] + uncontracted(
+            # exact_product: the probe binary has no FMA ISA, so the
+            # donor's mul and add must round separately (core.utils doc)
+            donor = agents[r1, j] + exact_product(
                 fw * (agents[r2, j] - agents[r3, j])
             )
             return rng_c, jnp.where(mutate, donor, agents[fixed, j])

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .core.driver import drive_trace
 from .core.objective import resolve_bounds
-from .solvers import bfgs, cgd, de_reference, gd, lm, nelder_mead
+from .solvers import (bfgs, cgd, de_reference, gd, lm, nelder_mead,
+                      pso_reference, sann_reference)
 
 
 def _de_ref(fn, x0, config, num_steps, bounds):
@@ -37,6 +38,34 @@ def _de_ref(fn, x0, config, num_steps, bounds):
     return {
         "x": take(tr.agents, best),
         "f": take(tr.scores, best),
+        "iteration": tr.iteration,
+        "nfev": tr.nfev,
+        "done": tr.done,
+    }
+
+
+def _sann_ref(fn, x0, config, num_steps, bounds):
+    state0 = sann_reference.init(fn, x0, config)
+    _, tr = drive_trace(
+        lambda s: sann_reference.step(fn, s, config), state0, num_steps
+    )
+    return {
+        "x": tr.x,
+        "f": tr.best_val,
+        "iteration": tr.iteration,
+        "nfev": tr.nfev,
+        "done": tr.done,
+    }
+
+
+def _pso_ref(fn, x0, config, num_steps, bounds):
+    state0 = pso_reference.init(fn, x0, config)
+    _, tr = drive_trace(
+        lambda s: pso_reference.step(fn, s, config), state0, num_steps
+    )
+    return {
+        "x": tr.swarm_best,
+        "f": tr.swarm_best_value,
         "iteration": tr.iteration,
         "nfev": tr.nfev,
         "done": tr.done,
@@ -88,6 +117,8 @@ _FAMILIES = {
     "bfgs": (_plain(bfgs, False), bfgs.BFGSConfig),
     "lm": (_plain(lm, False), lm.LMConfig),
     "de_reference": (_de_ref, de_reference.DEReferenceConfig),
+    "sann_reference": (_sann_ref, sann_reference.SANNReferenceConfig),
+    "pso_acc_reference": (_pso_ref, pso_reference.PSOAccReferenceConfig),
 }
 
 

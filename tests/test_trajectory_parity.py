@@ -14,10 +14,16 @@ Parity classes (all measured, see each table below):
   minimizer, and the bracketing root finders.  These algorithms only
   multiply by powers of two (alpha=1, gamma=2, rho/sigma=0.5, bisection
   midpoints) or compare f-values, so they are immune to the one platform
-  difference we cannot remove (below).  Also bit-exact: the STOCHASTIC DE
-  family (4 configs), replayed draw-for-draw on the bit-parity reference
-  RNGs by solvers/de_reference.py — including the data-dependent
-  rejection-sampling draw counts and in-generation greedy replacement.
+  difference we cannot remove (below).  Also bit-exact: the STOCHASTIC
+  families, replayed draw-for-draw on the bit-parity reference RNGs —
+  DE (4 configs; data-dependent rejection-sampling draw counts,
+  in-generation greedy replacement; solvers/de_reference.py), SANN
+  (truncated-pi Box-Muller, short-circuit Metropolis draw;
+  solvers/sann_reference.py), and Accelerated PSO
+  (solvers/pso_reference.py).  Vanilla PSO is deliberately absent: its
+  velocity update reads swarm_best_position[particle_index] out of
+  bounds (nlsolver.h:2674), so the reference's own trajectories there
+  are allocator-dependent undefined behavior.
 
 * **Counter-exact, x within documented drift** — the FD-gradient solvers
   (GD x4, CGD, BFGS, LM).  Root cause of the drift, verified in isolation:
@@ -86,6 +92,10 @@ DX_TOL = {
     ("de_rand_xorshift", "booth"): (0.0, None),
     ("de_best_xorshift", "rosenbrock"): (0.0, None),
     ("de_rand_xoshiro", "rosenbrock"): (0.0, None),
+    ("sann_xorshift", "rosenbrock"): (0.0, None),
+    ("sann_xorshift", "booth"): (0.0, None),
+    ("pso_acc_xorshift", "rosenbrock"): (0.0, None),
+    ("pso_acc_xorshift", "booth"): (0.0, None),
 }
 
 # pairs where the per-k f-eval counters are allowed to diverge past some k:
@@ -124,10 +134,10 @@ def test_trajectory(golden, solver, problem):
 
 
 def test_exact_pair_count(golden):
-    """The 14 bit-exact pairs (power-of-two-arithmetic deterministic
-    solvers + the draw-for-draw DE replays) must stay bit-exact: a
+    """The 18 bit-exact pairs (power-of-two-arithmetic deterministic
+    solvers + the draw-for-draw DE/SANN/PSO replays) must stay bit-exact: a
     regression that breaks exactness (e.g. reordering the NM centroid
     accumulation, nlsolver.h:1965-1984, or losing the DE donor
     decontraction) shows up here even if it stays under some tolerance."""
     n_exact_pairs = sum(1 for pair, (tol, _) in DX_TOL.items() if tol == 0.0)
-    assert n_exact_pairs == 14
+    assert n_exact_pairs == 18

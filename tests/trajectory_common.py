@@ -246,6 +246,32 @@ RUNNERS.update({name: partial(_run_root, name) for name in _ROOT_FNS})
 RUNNERS.update({name: partial(_run_de, name) for name in DE_CONFIGS})
 
 
+def run_sann(problem, ks):
+    K = max(ks)
+    from nlsolver_tpu.solvers import sann_reference
+    cfg = sann_reference.SANNReferenceConfig(max_iter=K + 1)
+    tr = jax.jit(
+        lambda x0: trace.trajectory("sann_reference", _problem_fn(problem),
+                                    x0, cfg, num_steps=K)
+    )(_x0(problem))
+    return _from_trace(tr, ks)
+
+
+def run_pso_acc(problem, ks):
+    K = max(ks)
+    from nlsolver_tpu.solvers import pso_reference
+    cfg = pso_reference.PSOAccReferenceConfig(max_iter=K + 1)
+    tr = jax.jit(
+        lambda x0: trace.trajectory("pso_acc_reference", _problem_fn(problem),
+                                    x0, cfg, num_steps=K)
+    )(_x0(problem))
+    return _from_trace(tr, ks)
+
+
+RUNNERS["sann_xorshift"] = run_sann
+RUNNERS["pso_acc_xorshift"] = run_pso_acc
+
+
 def compare_pair(solver, problem, golden_rows, max_k=None):
     """Run our side and compare; returns a summary dict."""
     rows = [r for r in golden_rows if max_k is None or r["k"] <= max_k]

@@ -171,6 +171,37 @@ static void sweep_de(const std::string &sname, const std::string &pname,
   }
 }
 
+template <typename Problem, typename RNG>
+static void sweep_sann(const std::string &sname, const std::string &pname,
+                       size_t K = 30) {
+  for (size_t k = 1; k <= K; ++k) {
+    Problem f;
+    vec x = start2();
+    RNG gen;
+    nlsolver::SANN<Problem, RNG, double> solver(f, gen, k, 10, 10.0);
+    auto status = solver.minimize(x);
+    emit(sname, pname, k, status, x);
+  }
+}
+
+// Accelerated PSO only: the Vanilla velocity update reads
+// swarm_best_position[particle_index] (nlsolver.h:2674), which for
+// n_particles > n_dim reads past the end of an n_dim-sized allocation —
+// its trajectories are allocator-dependent UB, not algorithm output.
+template <typename Problem, typename RNG>
+static void sweep_pso_acc(const std::string &sname, const std::string &pname,
+                          size_t K = 30) {
+  for (size_t k = 1; k <= K; ++k) {
+    Problem f;
+    vec x = start2();
+    RNG gen;
+    nlsolver::PSO<Problem, RNG, double, nlsolver::PSOType::Accelerated> solver(
+        f, gen, 0.8, 1.8, 1.8, 10, k, 50, 10e-4);
+    auto status = solver.minimize(x);
+    emit(sname, pname, k, status, x);
+  }
+}
+
 static void sweep_roots() {
   const double lo = 1.0, hi = 3.0;
   for (size_t k = 1; k <= 12; ++k) {
@@ -264,5 +295,10 @@ int main() {
   sweep_de<Booth, XS, nlsolver::random>("de_rand_xorshift", "booth");
   sweep_de<Rosenbrock, XS, nlsolver::best>("de_best_xorshift", "rosenbrock");
   sweep_de<Rosenbrock, XO, nlsolver::random>("de_rand_xoshiro", "rosenbrock");
+
+  sweep_sann<Rosenbrock, XS>("sann_xorshift", "rosenbrock");
+  sweep_sann<Booth, XS>("sann_xorshift", "booth");
+  sweep_pso_acc<Rosenbrock, XS>("pso_acc_xorshift", "rosenbrock");
+  sweep_pso_acc<Booth, XS>("pso_acc_xorshift", "booth");
   return 0;
 }
