@@ -36,7 +36,7 @@ def exact_product(x: jax.Array) -> jax.Array:
     a 4000-sample probe; the sort gives 0/4000 mismatches vs the no-FMA
     reference arithmetic).  Parity/debug paths only — never on the
     production hot path."""
-    return jnp.sort(jnp.stack([x, x]))[0]
+    return jnp.sort(jnp.stack([x, x]), axis=0)[0]
 
 
 def std_err(scores: jax.Array, axis: int = -1) -> jax.Array:

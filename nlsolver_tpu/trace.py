@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from .core.driver import drive_trace
 from .core.objective import resolve_bounds
 from .solvers import (bfgs, cgd, de_reference, gd, lm, nelder_mead,
-                      pso_reference, sann_reference)
+                      nmpso_reference, pso_reference, sann_reference)
 
 
 def _de_ref(fn, x0, config, num_steps, bounds):
@@ -66,6 +66,22 @@ def _pso_ref(fn, x0, config, num_steps, bounds):
     return {
         "x": tr.swarm_best,
         "f": tr.swarm_best_value,
+        "iteration": tr.iteration,
+        "nfev": tr.nfev,
+        "done": tr.done,
+    }
+
+
+def _nmpso_ref(fn, x0, config, num_steps, bounds):
+    state0 = nmpso_reference.init(fn, x0, config)
+    _, tr = drive_trace(
+        lambda s: nmpso_reference.step(fn, s, config), state0, num_steps
+    )
+    best = jax.vmap(nmpso_reference.report_best)(tr)
+    take = jax.vmap(lambda a, b: a[b])
+    return {
+        "x": take(tr.positions, best),
+        "f": take(tr.values, best),
         "iteration": tr.iteration,
         "nfev": tr.nfev,
         "done": tr.done,
@@ -119,6 +135,7 @@ _FAMILIES = {
     "de_reference": (_de_ref, de_reference.DEReferenceConfig),
     "sann_reference": (_sann_ref, sann_reference.SANNReferenceConfig),
     "pso_acc_reference": (_pso_ref, pso_reference.PSOAccReferenceConfig),
+    "nmpso_reference": (_nmpso_ref, nmpso_reference.NMPSOReferenceConfig),
 }
 
 

@@ -20,13 +20,16 @@ Parity classes (all measured, see each table below):
   in-generation greedy replacement; solvers/de_reference.py), SANN
   (truncated-pi Box-Muller, short-circuit Metropolis draw;
   solvers/sann_reference.py), and Accelerated PSO
-  (solvers/pso_reference.py).  Vanilla PSO is deliberately absent: its
+  (solvers/pso_reference.py), and the NelderMead-PSO hybrid
+  (solvers/nmpso_reference.py: lost vertex-n init write, velocity-copy
+  bug, stale best_val counter, order_flip pairwise-best).
+  Vanilla PSO is deliberately absent: its
   velocity update reads swarm_best_position[particle_index] out of
   bounds (nlsolver.h:2674), so the reference's own trajectories there
   are allocator-dependent undefined behavior.
 
 * **Counter-exact, x within documented drift** — the FD-gradient solvers
-  (GD x4, CGD, BFGS, LM).  Root cause of the drift, verified in isolation:
+  (GD x5 incl. the divergent PAGE mode, CGD, BFGS, LM).  Root cause of the drift, verified in isolation:
   XLA:CPU contracts ``a*b + c`` into FMA while the golden probe binary
   (plain ``-O2``, baseline x86-64, no FMA ISA) cannot, so objective
   evaluations differ by ~1 ulp at arbitrary points.  The reference's FD
@@ -73,6 +76,14 @@ DX_TOL = {
     ("gd_bigstep", "booth"): (1e-6, None),
     ("gd_bigstep", "rosenbrock"): (1e-6, None),
     ("gd_linesearch", "booth"): (1e-4, None),
+    # PAGE: the compounding alpha_ *= f_multiplier quirk (nlsolver.h:3014)
+    # alternates descent/ascent, and with the always-on gradient correction
+    # (p = 0 by size_t division) the iterates blow up doubly-exponentially
+    # (booth reaches ~1e100 by k=20 in the golden data).  The ~1e-9 FD
+    # gradient noise amplifies accordingly, so only a short prefix is
+    # dx-comparable; iteration/f-eval counters match for all 30 prefixes.
+    ("gd_page", "booth"): (1e-3, 3),
+    ("gd_page", "rosenbrock"): (1e-8, 3),
     ("gd_linesearch", "mccormick"): (1e-6, None),
     ("gd_linesearch", "rosenbrock"): (1e-5, None),
     ("cgd", "booth"): (1e-6, None),
@@ -96,6 +107,8 @@ DX_TOL = {
     ("sann_xorshift", "booth"): (0.0, None),
     ("pso_acc_xorshift", "rosenbrock"): (0.0, None),
     ("pso_acc_xorshift", "booth"): (0.0, None),
+    ("nmpso_xorshift", "rosenbrock"): (0.0, None),
+    ("nmpso_xorshift", "booth"): (0.0, None),
 }
 
 # pairs where the per-k f-eval counters are allowed to diverge past some k:
@@ -134,10 +147,10 @@ def test_trajectory(golden, solver, problem):
 
 
 def test_exact_pair_count(golden):
-    """The 18 bit-exact pairs (power-of-two-arithmetic deterministic
+    """The 20 bit-exact pairs (power-of-two-arithmetic deterministic
     solvers + the draw-for-draw DE/SANN/PSO replays) must stay bit-exact: a
     regression that breaks exactness (e.g. reordering the NM centroid
     accumulation, nlsolver.h:1965-1984, or losing the DE donor
     decontraction) shows up here even if it stays under some tolerance."""
     n_exact_pairs = sum(1 for pair, (tol, _) in DX_TOL.items() if tol == 0.0)
-    assert n_exact_pairs == 18
+    assert n_exact_pairs == 20

@@ -129,6 +129,13 @@ def run_gd_linesearch(problem, ks):
     return _run_gd_traced("linesearch", 1.0, problem, ks)
 
 
+def run_gd_page(problem, ks):
+    # PAGE's internal RNG draw only feeds a `u > p` test with p = 0 (the
+    # reference's size_t division, nlsolver.h:2944), so the correction
+    # branch fires every iteration and the trajectory is RNG-independent.
+    return _run_gd_traced("page", GD_ALPHA[problem], problem, ks)
+
+
 def run_gd_anneal(problem, ks):
     # the anneal schedule alpha/(1+iter/max_iter) depends on max_iter
     # (nlsolver.h:2997) — each k is a different dynamical system; run per k.
@@ -237,6 +244,7 @@ RUNNERS = {
     "gd_anneal": run_gd_anneal,
     "gd_bigstep": run_gd_bigstep,
     "gd_linesearch": run_gd_linesearch,
+    "gd_page": run_gd_page,
     "cgd": run_cgd,
     "bfgs": run_bfgs,
     "lm": run_lm,
@@ -268,8 +276,20 @@ def run_pso_acc(problem, ks):
     return _from_trace(tr, ks)
 
 
+def run_nmpso(problem, ks):
+    K = max(ks)
+    from nlsolver_tpu.solvers import nmpso_reference
+    cfg = nmpso_reference.NMPSOReferenceConfig(max_iter=K + 1)
+    tr = jax.jit(
+        lambda x0: trace.trajectory("nmpso_reference", _problem_fn(problem),
+                                    x0, cfg, num_steps=K)
+    )(_x0(problem))
+    return _from_trace(tr, ks)
+
+
 RUNNERS["sann_xorshift"] = run_sann
 RUNNERS["pso_acc_xorshift"] = run_pso_acc
+RUNNERS["nmpso_xorshift"] = run_nmpso
 
 
 def compare_pair(solver, problem, golden_rows, max_k=None):

@@ -202,6 +202,20 @@ static void sweep_pso_acc(const std::string &sname, const std::string &pname,
   }
 }
 
+template <typename Problem, typename RNG>
+static void sweep_nmpso(const std::string &sname, const std::string &pname,
+                        size_t K = 30) {
+  for (size_t k = 1; k <= K; ++k) {
+    Problem f;
+    vec x = start2();
+    RNG gen;
+    nlsolver::NelderMeadPSO<Problem, RNG, double> solver(
+        f, gen, 1, 2, 0.5, 0.5, 0.8, 1.8, 1.8, 1e-6, k, 20);
+    auto status = solver.minimize(x);
+    emit(sname, pname, k, status, x);
+  }
+}
+
 static void sweep_roots() {
   const double lo = 1.0, hi = 3.0;
   for (size_t k = 1; k <= 12; ++k) {
@@ -275,6 +289,12 @@ int main() {
                                                           "booth", 1.0);
   sweep_gd<McCormick, nlsolver::GradientStepType::Linesearch>(
       "gd_linesearch", "mccormick", 1.0);
+  // PAGE: p = minibatch/(minibatch'+minibatch) is size_t division == 0
+  // (nlsolver.h:2944), so the correction branch is taken every iteration
+  // and the internal xorshift draw never affects the trajectory
+  sweep_gd<Booth, nlsolver::GradientStepType::PAGE>("gd_page", "booth", 0.05);
+  sweep_gd<Rosenbrock, nlsolver::GradientStepType::PAGE>("gd_page",
+                                                         "rosenbrock", 0.001);
 
   sweep_cgd<Rosenbrock>("rosenbrock");
   sweep_cgd<Booth>("booth");
@@ -300,5 +320,7 @@ int main() {
   sweep_sann<Booth, XS>("sann_xorshift", "booth");
   sweep_pso_acc<Rosenbrock, XS>("pso_acc_xorshift", "rosenbrock");
   sweep_pso_acc<Booth, XS>("pso_acc_xorshift", "booth");
+  sweep_nmpso<Rosenbrock, XS>("nmpso_xorshift", "rosenbrock");
+  sweep_nmpso<Booth, XS>("nmpso_xorshift", "booth");
   return 0;
 }
