@@ -93,6 +93,22 @@ def reference_results():
     }
 
 
+TRAJECTORY_SECTION = """
+## Trajectory-level parity (tests/test_trajectory_parity.py)
+
+Beyond final optima, per-iterate trajectories are compared against golden
+per-prefix runs of the reference binary (tools/traj_probe.cpp -> 
+tests/data/reference_trajectories.tsv; 41 solver/problem pairs covering
+every solver family that compiles):
+
+| class | pairs | result |
+|---|---|---|
+| bit-exact iterates (dx == 0 at every prefix) | 20 | Nelder-Mead, Brent minimizer, 6 of 7 root finders, and the stochastic families replayed draw-for-draw on the bit-parity reference RNGs: DE (rand/best x xorshift/xoshiro), SANN, Accelerated PSO, NM-PSO hybrid |
+| counter-exact, iterates within documented FMA-contraction drift | 20 | GD (fixed/anneal/bigstep/linesearch/PAGE), CGD, BFGS, LM, false-position (1 ulp) |
+| excluded with cause | - | vanilla PSO (out-of-bounds read, nlsolver.h:2674 -> allocator-dependent UB); CMA-ES (reference does not compile) |
+"""
+
+
 def main():
     ref = reference_results()
     fams = list(DETERMINISTIC) + list(STOCHASTIC)
@@ -144,6 +160,7 @@ def main():
         "",
         "(CMA-ES, SANN, LM, Brent and the root finders have no reference test",
         "coverage — see their dedicated test files.)",
+        TRAJECTORY_SECTION,
     ]
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PARITY.md")
     with open(out, "w") as f:
