@@ -288,6 +288,25 @@ _INIT = {
 }
 
 
+# user-registered generators: kind -> (init_fn(dtype) -> state,
+#                                       next_fn(state) -> (u, state))
+_CUSTOM = {}
+
+
+def register(kind: str, init_fn, next_fn) -> None:
+    """Register a user generator under ``kind`` for use anywhere a named
+    generator is accepted (the reference-emulation solver configs take
+    ``rng="<kind>"``).
+
+    This is the analogue of the reference's RNG-functor interop: its test
+    harness wraps ``std::mt19937`` in a tiny functor yielding U[0,1)
+    (test_functions.h:40-48) and passes it to any solver.  Here a generator
+    is the functional pair ``init_fn(dtype) -> state`` (a pytree of arrays)
+    and ``next_fn(state) -> (u, state)`` — pure, so it composes with jit /
+    scan / checkpointing exactly like the built-ins."""
+    _CUSTOM[kind] = (init_fn, next_fn)
+
+
 def make(kind: str, dtype=jnp.float32):
     """Return (init_state, next_fn) for a generator kind.
 
@@ -295,6 +314,9 @@ def make(kind: str, dtype=jnp.float32):
     internal state of the float-state generators halton/recurrent — the
     reference's ``recurrent<double>`` stream differs from ``recurrent<float>``
     because rounding error accumulates in the modular addition)."""
+    if kind in _CUSTOM:
+        init_fn, next_fn = _CUSTOM[kind]
+        return init_fn(dtype), next_fn
     if kind in ("halton", "recurrent"):
         return _INIT[kind](dtype=dtype), _NEXT[kind]
     bit_next = {

@@ -89,3 +89,39 @@ def test_streaming_median():
     assert m.median == 3.0
     m.push(100.0)
     assert m.median == 3.5
+
+
+class TestCustomGeneratorInterop:
+    """register(): user RNG functors drive the emulation solvers, mirroring
+    the reference's std::mt19937 adapter interop (test_functions.h:40-48)."""
+
+    def test_lcg_drives_de_reference(self):
+        import jax
+        import jax.numpy as jnp
+        from nlsolver_tpu.random import reference_rngs
+        from nlsolver_tpu.solvers import de_reference
+
+        # minimal-standard LCG as a (state) -> (u, state) pure pair
+        M, A = 2147483647, 48271
+
+        def lcg_init(dtype):
+            return {"s": jnp.uint32(42), "dtype": jnp.zeros((), dtype)}
+
+        def lcg_next(state):
+            s = (state["s"].astype(jnp.uint64) * A % M).astype(jnp.uint32)
+            u = s.astype(state["dtype"].dtype) / M
+            return u, {"s": s, "dtype": state["dtype"]}
+
+        reference_rngs.register("lcg48271", lcg_init, lcg_next)
+
+        booth = lambda x: (x[0] + 2.0 * x[1] - 7.0) ** 2 + (
+            2.0 * x[0] + x[1] - 5.0
+        ) ** 2
+        cfg = de_reference.DEReferenceConfig(max_iter=20, rng="lcg48271")
+        x0 = jnp.asarray([-0.5, -0.5], jnp.float64)
+        r1 = jax.jit(lambda x: de_reference.minimize(booth, x, cfg))(x0)
+        r2 = jax.jit(lambda x: de_reference.minimize(booth, x, cfg))(x0)
+        # deterministic across runs, and it actually optimizes
+        assert float(r1.f_value) == float(r2.f_value)
+        assert float(r1.f_value) < 1.0
+        assert int(r1.function_calls) == 50 + 20 * 50
