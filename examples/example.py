@@ -5,6 +5,11 @@ The reference demos every solver on the 2-D Rosenbrock from x0 = (-0.5, -0.5)
 API, then shows what the reference cannot: solving 4096 instances at once
 with one vmapped program.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,11 @@ Same demo problem f(x) = x^3 - x - 2 on [-4, 8] (real root ~1.5213797),
 all seven finders, then the TPU twist: 100k simultaneous bracketed roots
 in one vmapped program.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
