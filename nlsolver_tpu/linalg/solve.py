@@ -78,15 +78,50 @@ def _solve_spd_unrolled(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x)
 
 
-def damped_solve(H: jax.Array, g: jax.Array, lam) -> jax.Array:
+def is_diagonal(H: jax.Array) -> jax.Array:
+    """Runtime diagonality test (nlsolver.h:296-307): every off-diagonal
+    entry below ``eps * 1e12`` (~2.2e-4 for f64).
+
+    The reference compares the *signed* entry (``A[i,j] > eps*1e12`` — a
+    matrix whose off-diagonals are all negative passes as "diagonal" and
+    gets the elementwise-divide update).  That is a bug; we test ``|A[i,j]|``
+    by default.
+    """
+    n = H.shape[-1]
+    thresh = jnp.finfo(H.dtype).eps * 1e12
+    off = jnp.abs(H) * (1.0 - jnp.eye(n, dtype=H.dtype))
+    return jnp.max(off) <= thresh
+
+
+def damped_solve(H: jax.Array, g: jax.Array, lam, *, diagonal=None) -> jax.Array:
     """(H + lam I) u = g (get_update_with_hessian + H += lam I,
-    nlsolver.h:3529-3533).  Small orders use the unrolled vmap-friendly
-    solve (see _UNROLL_N note)."""
+    nlsolver.h:3529-3533).
+
+    ``diagonal`` selects the reference's fast path (nlsolver.h:316-322):
+
+    * ``True`` — H is known diagonal (separable objective): elementwise
+      divide, O(n) instead of O(n^3).  Static, so fleets of vmapped LM
+      solves on separable Hessians never touch the Cholesky graph.
+    * ``False`` — always factorize.
+    * ``None`` (default) — runtime ``is_diagonal`` check via ``lax.cond``,
+      mirroring the reference's dynamic dispatch.  Under ``jit`` (no vmap)
+      only the taken branch executes; under ``vmap`` both run, so pass a
+      static flag for batched fleets.
+
+    Small orders use the unrolled vmap-friendly solve (see _UNROLL_N note).
+    """
     n = g.shape[-1]
     Hd = H + lam * jnp.eye(n, dtype=H.dtype)
-    if n <= _UNROLL_N:
-        return _solve_spd_unrolled(Hd, g)
-    return solve_cholesky(Hd, g)
+    if diagonal is True:
+        return g / jnp.diagonal(Hd, axis1=-2, axis2=-1)
+    dense_solve = _solve_spd_unrolled if n <= _UNROLL_N else solve_cholesky
+    if diagonal is False:
+        return dense_solve(Hd, g)
+    return jax.lax.cond(
+        is_diagonal(Hd),
+        lambda: g / jnp.diagonal(Hd, axis1=-2, axis2=-1),
+        lambda: dense_solve(Hd, g),
+    )
 
 
 def least_squares(A: jax.Array, y: jax.Array) -> jax.Array:

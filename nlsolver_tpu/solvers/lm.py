@@ -24,10 +24,10 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from ..core import Bounds, Objective, SolverResult, drive, make_result, signed
 from ..deriv import Deriv, make_grad, make_hessian
+from ..linalg.solve import damped_solve as _damped_solve
 
 
 @dataclass(frozen=True)
@@ -50,6 +50,12 @@ class LMConfig:
     #   * otherwise an in-place Cholesky + forward/back solve in the
     #     reference's exact arithmetic order (:252-294).
     variant: str = "default"
+    # diagonal-Hessian dispatch for the default variant (see
+    # linalg.solve.damped_solve): True = separable objective, always the
+    # O(n) elementwise divide; False = always factorize; None = runtime
+    # lax.cond mirroring the reference's is_diagonal dispatch
+    # (nlsolver.h:310-322, with the missing abs() fixed).
+    diagonal: Optional[bool] = None
 
 
 class LMState(NamedTuple):
@@ -67,13 +73,11 @@ class LMState(NamedTuple):
     converged: jax.Array
 
 
-def damped_solve(hessian: jax.Array, gradient: jax.Array, lam) -> jax.Array:
-    """(H + lam I) u = g via Cholesky (reference: get_update_with_hessian,
-    nlsolver.h:310-330)."""
-    n = gradient.shape[-1]
-    H = hessian + lam * jnp.eye(n, dtype=hessian.dtype)
-    c, low = jsl.cho_factor(H)
-    return jsl.cho_solve((c, low), gradient)
+def damped_solve(hessian: jax.Array, gradient: jax.Array, lam, *, diagonal=None) -> jax.Array:
+    """(H + lam I) u = g (reference: get_update_with_hessian,
+    nlsolver.h:310-330).  Delegates to :func:`linalg.solve.damped_solve`,
+    which carries the diagonal fast path and the small-n unrolled solve."""
+    return _damped_solve(hessian, gradient, lam, diagonal=diagonal)
 
 
 def _reference_damped_solve(H, g, lam):
@@ -164,7 +168,9 @@ def step(fn: Objective, state: LMState, config: LMConfig) -> LMState:
     if config.variant == "reference":
         update = _reference_damped_solve(state.hessian, state.gradient, state.lam)
     else:
-        update = damped_solve(state.hessian, state.gradient, state.lam)
+        update = damped_solve(
+            state.hessian, state.gradient, state.lam, diagonal=config.diagonal
+        )
     new_x = state.x - update
     new_f = fn(new_x)
     new_g = grad_fn(new_x)

@@ -82,14 +82,26 @@ class NMPSORefState(NamedTuple):
 
 
 def _sorted_order(values: jax.Array) -> jax.Array:
-    # libstdc++ std::sort is insertion sort (stable) below 16 elements;
-    # jnp.argsort is stable by default
+    # libstdc++ std::sort runs stable insertion sort only below its
+    # 16-element threshold, i.e. for 3n+1 <= 16 particles (n <= 5); above
+    # that it is unstable introsort and can diverge from jnp's stable
+    # argsort on tied values.  init() warns for n > 5.
     return jnp.argsort(values).astype(jnp.int32)
 
 
 def init(fn: Objective, x0: jax.Array, config: NMPSOReferenceConfig) -> NMPSORefState:
     x0 = jnp.asarray(x0)
     n = x0.shape[-1]
+    if n > 5:
+        import warnings
+
+        warnings.warn(
+            "nmpso_reference bit-parity is only guaranteed for n <= 5 "
+            "(3n+1 <= 16 particles keeps libstdc++ std::sort in its stable "
+            "insertion-sort regime; larger sorts are unstable introsort and "
+            "may order tied values differently)",
+            stacklevel=2,
+        )
     dtype = x0.dtype
     nm, npso = n + 1, 2 * n
     rng0, nxt = reference_rngs.make(config.rng, dtype=dtype)

@@ -75,13 +75,17 @@ def _best_update(fn, positions, best_values, swarm_best, swarm_best_value,
     with best_index reset to 0 each call, particle bests as elementwise min,
     no-change counter keyed on best_index == 0."""
     temps = batch_eval(fn, positions)
-    tmin = jnp.min(temps)
+    # reference scans with strict `<` (nlsolver.h:2723, :2730): NaN
+    # evaluations never displace a stored best, so mask them out of the
+    # vectorized min/argmin instead of letting jnp.min propagate them
+    tclean = jnp.where(jnp.isnan(temps), jnp.inf, temps)
+    tmin = jnp.min(tclean)
     updated = tmin < swarm_best_value
-    amin = jnp.argmin(temps).astype(jnp.int32)
+    amin = jnp.argmin(tclean).astype(jnp.int32)
     best_index = jnp.where(updated, amin, jnp.int32(0))
     swarm_best_value = jnp.where(updated, tmin, swarm_best_value)
     swarm_best = jnp.where(updated, positions[amin], swarm_best)
-    best_values = jnp.minimum(best_values, temps)
+    best_values = jnp.where(temps < best_values, temps, best_values)
     val_no_change = jnp.where(best_index == 0, val_no_change + 1, 0)
     nfev = nfev + positions.shape[0]
     return best_values, swarm_best, swarm_best_value, val_no_change, nfev

@@ -190,8 +190,15 @@ def brent(fn, lower, upper, tol=1e-12, max_iter=200) -> RootResult:
         secant = s.b - s.fb * ((s.b - s.a) / -denom_ab)
         cand = jnp.where(use_iqi, iqi, secant)
 
+        # fa == fb makes the reference's secant (and IQI) divide by zero:
+        # the inf/NaN candidate always fails its safeguard window test, so
+        # it invariably falls through to bisection.  The where-guarded
+        # denominators above produce a finite bogus candidate instead, so
+        # force the bisection branch explicitly to match.
+        degenerate = s.fa == s.fb
         cond_bisect = (
-            ~((cand > (3 * s.a + s.b) / 4) & (cand < s.b))
+            degenerate
+            | ~((cand > (3 * s.a + s.b) / 4) & (cand < s.b))
             | (s.flag & (jnp.abs(cand - s.b) >= jnp.abs(s.b - s.c) / 2))
             | (~s.flag & (jnp.abs(cand - s.b) >= jnp.abs(s.c - s.d) / 2))
             | (s.flag & (jnp.abs(s.b - s.c) < tol))

@@ -149,7 +149,9 @@ def trajectory(
     bounds=None,
 ):
     """Capture ``num_steps`` iterates of ``family`` minimizing ``fn`` from
-    ``x0``.  Supported families: %s.""" % ", ".join(sorted(_FAMILIES))
+    ``x0``.  Supported families: bfgs, cgd, de_reference, gd, lm,
+    nelder_mead, nmpso_reference, pso_acc_reference, sann_reference.
+    """
     if family not in _FAMILIES:
         raise ValueError(
             f"unknown family {family!r}; supported: {sorted(_FAMILIES)}"

@@ -74,6 +74,29 @@ def test_damped_solve(key):
     assert jnp.allclose((A + 10.0 * jnp.eye(4)) @ u, g, atol=1e-9)
 
 
+@pytest.mark.parametrize("n", [4, 12])
+def test_damped_solve_diagonal_dispatch(key, n):
+    """The reference's diagonal fast path (nlsolver.h:310-322): a diagonal
+    Hessian takes the elementwise divide; all three static/dynamic modes
+    agree with the dense solve on both diagonal and dense inputs."""
+    d = jnp.arange(1.0, n + 1.0)
+    H_diag = jnp.diag(d)
+    g = jnp.ones(n)
+    expect = g / (d + 2.5)
+    for mode in (True, False, None):
+        u = damped_solve(H_diag, g, 2.5, diagonal=mode)
+        assert jnp.allclose(u, expect, atol=1e-12), mode
+    # dense input: None must pick the factorized branch
+    A = random_matrix(key, n, symmetric=True)
+    u_auto = jax.jit(lambda A, g: damped_solve(A, g, 2.5))(A, g)
+    assert jnp.allclose((A + 2.5 * jnp.eye(n)) @ u_auto, g, atol=1e-8)
+    # diagonal=True on a separable fleet under vmap stays elementwise
+    Hs = jax.vmap(jnp.diag)(jnp.abs(jax.random.normal(key, (16, n))) + 1.0)
+    gs = jnp.ones((16, n))
+    us = jax.jit(jax.vmap(lambda H, g: damped_solve(H, g, 0.5, diagonal=True)))(Hs, gs)
+    assert jnp.allclose(us, gs / (jax.vmap(jnp.diagonal)(Hs) + 0.5), atol=1e-12)
+
+
 def test_least_squares(key):
     k1, k2 = jax.random.split(key)
     A = jax.random.normal(k1, (20, 4), jnp.float64)

@@ -66,3 +66,30 @@ def test_vmap_over_seeds(key):
     )(keys)
     dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
     assert int(jnp.sum(dists <= TOL)) >= 6
+
+
+def test_reference_best_update_nan_strict():
+    """NaN objective values must never displace stored bests: the reference
+    scans with strict `<` (nlsolver.h:2723, :2730), which is false for NaN.
+    A NaN-poisoned particle keeps its old best and the swarm best still
+    updates from the remaining finite particles."""
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers.pso_reference import _best_update
+
+    # particle 1 evaluates to NaN, particle 2 improves on the swarm best
+    positions = jnp.array([[9.0, 9.0], [jnp.nan, 0.0], [0.1, 0.1]])
+
+    def fn(x):
+        return x[0] * x[0] + x[1] * x[1]
+
+    best_values = jnp.array([5.0, 5.0, 5.0])
+    swarm_best = jnp.zeros(2)
+    (best_values, swarm_best, swarm_best_value, val_no_change, nfev) = _best_update(
+        fn, positions, best_values, swarm_best, jnp.asarray(1.0), jnp.int32(0),
+        jnp.int32(0),
+    )
+    assert float(best_values[1]) == 5.0            # NaN did not overwrite
+    assert abs(float(swarm_best_value) - 0.02) < 1e-12  # finite winner found
+    assert jnp.allclose(swarm_best, jnp.array([0.1, 0.1]))
+    assert not jnp.any(jnp.isnan(best_values))
