@@ -85,10 +85,12 @@ def is_diagonal(H: jax.Array) -> jax.Array:
     The reference compares the *signed* entry (``A[i,j] > eps*1e12`` — a
     matrix whose off-diagonals are all negative passes as "diagonal" and
     gets the elementwise-divide update).  That is a bug; we test ``|A[i,j]|``
-    by default.
+    by default.  The threshold is the reference's *double*-precision
+    constant for every dtype — scaling by the input dtype's eps would make
+    the f32 threshold ~1.2e5 and classify everything as diagonal.
     """
     n = H.shape[-1]
-    thresh = jnp.finfo(H.dtype).eps * 1e12
+    thresh = jnp.asarray(2.220446049250313e-16 * 1e12, H.dtype)
     off = jnp.abs(H) * (1.0 - jnp.eye(n, dtype=H.dtype))
     return jnp.max(off) <= thresh
 

@@ -97,6 +97,21 @@ def test_damped_solve_diagonal_dispatch(key, n):
     assert jnp.allclose(us, gs / (jax.vmap(jnp.diagonal)(Hs) + 0.5), atol=1e-12)
 
 
+def test_is_diagonal_threshold_is_dtype_independent():
+    """Regression: scaling the reference's eps*1e12 threshold by the input
+    dtype's eps makes the f32 cutoff ~1.2e5, classifying every Hessian as
+    diagonal (LM then silently ignores all cross terms)."""
+    from nlsolver_tpu.linalg.solve import is_diagonal
+
+    H32 = jnp.array([[200.0, 100.0], [100.0, 200.0]], jnp.float32)
+    assert not bool(is_diagonal(H32))
+    assert bool(is_diagonal(jnp.diag(jnp.array([3.0, 4.0], jnp.float32))))
+    # f32 LM on rosenbrock must use the cross terms
+    u = damped_solve(H32, jnp.ones(2, jnp.float32), jnp.float32(0.5))
+    expect = jnp.linalg.solve(H32 + 0.5 * jnp.eye(2), jnp.ones(2))
+    assert jnp.allclose(u, expect, atol=1e-5)
+
+
 def test_least_squares(key):
     k1, k2 = jax.random.split(key)
     A = jax.random.normal(k1, (20, 4), jnp.float64)
