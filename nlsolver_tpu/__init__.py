@@ -8,7 +8,16 @@ init/step state machines over pytrees so a single implementation runs under
 ``jit`` (one problem), ``vmap`` (thousands of problems per chip) and
 ``shard_map`` (populations sharded over a TPU pod slice).
 """
-from .api import maximize, methods, minimize
+from .api import (
+    curve_fit,
+    fit,
+    fit_batched,
+    maximize,
+    methods,
+    minimize,
+    root,
+    root_methods,
+)
 from .core import Bounds, SolverResult
 
 __version__ = "0.1.0"
@@ -16,7 +25,12 @@ __version__ = "0.1.0"
 __all__ = [
     "Bounds",
     "SolverResult",
+    "curve_fit",
+    "fit",
+    "fit_batched",
     "maximize",
     "methods",
     "minimize",
+    "root",
+    "root_methods",
 ]

@@ -51,10 +51,89 @@ def test_readme_quickstart_sharded(key):
 
 
 def test_unknown_method_raises():
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="available methods"):
         nlsolver_tpu.minimize(rosen, [0.0, 0.0], method="nope")
+    with pytest.raises(ValueError, match="layout"):
+        nlsolver_tpu.minimize(rosen, [0.0, 0.0], layout="nope")
 
 
 def test_maximize_api():
     res = nlsolver_tpu.maximize(lambda x: -rosen(x), [-0.5, -0.5], method="bfgs")
     assert float(res.f_value) > -1e-3
+
+
+def test_layout_batched_de(key):
+    """layout='batched' reaches the lane-axis DE engine through minimize."""
+    x0 = jnp.full((32, 2), -0.5)
+    res = jax.jit(
+        lambda x0, keys: nlsolver_tpu.minimize(
+            rosen, x0, method="de", layout="batched",
+            keys=keys,
+        )
+    )(x0, jax.random.split(key, 32))
+    assert res.x.shape == (32, 2)
+    assert float(jnp.median(res.f_value)) < 1e-2
+
+
+def test_layout_batched_vmap_fallback():
+    """Non-DE methods batch via vmap under the same switch."""
+    x0 = jnp.tile(jnp.asarray([-0.5, -0.5]), (8, 1))
+    res = jax.jit(
+        lambda x0: nlsolver_tpu.minimize(rosen, x0, method="bfgs", layout="batched")
+    )(x0)
+    assert res.x.shape == (8, 2)
+    assert float(jnp.max(res.f_value)) < 1e-4
+
+
+def test_layout_fleet_bfgs():
+    """layout='fleet' reaches the batch-minor BFGS fleet; x0 is [n, B]."""
+    X0 = jnp.full((2, 16), -0.5)
+    res = nlsolver_tpu.minimize(rosen, X0, method="bfgs", layout="fleet")
+    assert res.x.shape == (2, 16)
+    assert float(jnp.max(res.f_value)) < 1e-4
+
+
+def test_layout_sharded_and_islands(key):
+    from nlsolver_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=2, pop=4)
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    res = nlsolver_tpu.minimize(
+        rosen, jnp.full((4, 2), -0.5), config=DEConfig(pop_size=64),
+        method="de", layout="sharded", mesh=mesh, keys=jax.random.split(key, 4),
+    )
+    assert float(jnp.max(res.f_value)) < 1e-2
+    res_i = nlsolver_tpu.minimize(
+        rosen, jnp.full((4, 2), -0.5), config=DEConfig(pop_size=64),
+        method="de", layout="islands", mesh=mesh, keys=jax.random.split(key, 4),
+    )
+    assert float(jnp.max(res_i.f_value)) < 1e-2
+    with pytest.raises(ValueError, match="mesh"):
+        nlsolver_tpu.minimize(
+            rosen, jnp.full((4, 2), -0.5), method="de", layout="sharded"
+        )
+
+
+def test_root_api():
+    cubic = lambda x: (x - 1.0) * (x + 2.0) * (x - 3.5)
+    for method in nlsolver_tpu.root_methods():
+        if method == "tiruneh":
+            res = nlsolver_tpu.root(cubic, method="tiruneh", x_k=(0.0, 0.5, 2.0))
+        else:
+            res = nlsolver_tpu.root(cubic, 0.0, 2.0, method=method)
+        assert abs(float(res.x) - 1.0) < 1e-3, method
+    with pytest.raises(ValueError, match="available"):
+        nlsolver_tpu.root(cubic, 0.0, 2.0, method="nope")
+
+
+def test_nlls_reexports():
+    t = jnp.linspace(0.0, 1.0, 32)
+    y = 2.0 * t + 0.5
+    model = lambda p, t: p[0] * t + p[1]
+    res = nlsolver_tpu.curve_fit(model, t, y, jnp.zeros(2))
+    assert jnp.allclose(res.x, jnp.asarray([2.0, 0.5]), atol=1e-5)
+    res_b = nlsolver_tpu.fit_batched(
+        lambda p: model(p, t) - y, jnp.zeros((4, 2))
+    )
+    assert res_b.x.shape == (4, 2)
