@@ -58,3 +58,66 @@ def test_shekel_4d(key):
     )(keys)
     dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
     assert int(jnp.sum(dists <= TOL)) >= 4, jnp.round(dists, 3)
+
+
+def test_bounded_mccormick_in_box(key):
+    """CMA-ES honors bounds by projection repair: every candidate is clamped
+    before evaluation, so iterates stay in the box even when the global
+    minimum (-0.547, -1.547) lies outside it.  The box holds two candidate
+    optima: the (0, 0) corner (f = 1) and the interior local minimum at
+    (1 + pi/3 - ..., ...) ~ (2.594, 1.594) (f ~ 1.228); either is a
+    feasible answer, anything better than 1.25 proves no out-of-box leak
+    (outside, f drops below -1.9)."""
+    from nlsolver_tpu.core import Bounds
+
+    p = PROBLEMS["mccormick"]
+    bounds = Bounds(lower=jnp.asarray([0.0, 0.0]), upper=jnp.asarray([4.0, 4.0]))
+    cfg = CMAESConfig(max_iter=300)
+    res = jax.jit(
+        lambda k: cmaes.minimize(p.fn, jnp.asarray([2.0, 2.0]), cfg,
+                                 bounds=bounds, key=k)
+    )(key)
+    assert float(res.x[0]) >= -1e-9 and float(res.x[1]) >= -1e-9
+    assert float(res.x[0]) <= 4.0 + 1e-9 and float(res.x[1]) <= 4.0 + 1e-9
+    assert float(res.f_value) <= 1.25, (res.x, res.f_value)
+    # a start outside the box is repaired into it
+    res2 = cmaes.minimize(p.fn, jnp.asarray([-3.0, -3.0]), cfg,
+                          bounds=bounds, key=key)
+    assert float(res2.x[0]) >= -1e-9 and float(res2.x[1]) >= -1e-9
+
+
+def test_bounded_constrained_optimum_on_face(key):
+    """Shifted sphere with its minimum outside the box: the constrained
+    optimum is the nearest box corner and projection repair must find it."""
+    from nlsolver_tpu.core import Bounds
+
+    fn = lambda x: jnp.sum((x + 1.0) ** 2)
+    bounds = Bounds(lower=jnp.zeros(2), upper=jnp.full(2, 4.0))
+    res = cmaes.minimize(fn, jnp.asarray([2.0, 2.0]),
+                         CMAESConfig(max_iter=300), bounds=bounds, key=key)
+    assert float(jnp.max(jnp.abs(res.x))) <= 1e-3, res.x
+    assert abs(float(res.f_value) - 2.0) < 1e-2
+
+
+def test_restart_variance_kick(key):
+    """Reference intent nlsolver.h:4566-4568: on a dead-flat landscape the
+    top-mu costs collapse, the best value stagnates, and after
+    kick_patience generations sigma is re-inflated by exp(0.2 + cs/damps)
+    per generation — deterministic exponential growth, vs the slow CSA
+    random walk without the kick."""
+    fn = lambda x: jnp.asarray(0.0, x.dtype)    # constant: pure plateau
+
+    def run_sigma(kick_tol):
+        cfg = CMAESConfig(sigma0=1e-6, max_iter=10_000,
+                          best_value_no_change=10_000, kick_tol=kick_tol)
+        state = cmaes.init(fn, jnp.zeros(2, jnp.float64), cfg, key)
+        step = jax.jit(lambda s: cmaes.step(fn, s, cfg))
+        for _ in range(80):
+            state = step(state)
+        return float(state.sigma)
+
+    sigma_kicked = run_sigma(1e-6)
+    sigma_plain = run_sigma(0.0)
+    # 70 kicking generations at >= exp(0.2) each is > e^14 ~ 1e6 growth
+    assert sigma_kicked > 1e3 * 1e-6, sigma_kicked
+    assert sigma_kicked > 100.0 * sigma_plain, (sigma_kicked, sigma_plain)
