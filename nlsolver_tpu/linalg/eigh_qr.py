@@ -43,8 +43,29 @@ def eigh_qr(A: jax.Array, max_iter: int = 25, tol: float = 1e-12) -> Eigh:
     return Eigh(eigenvalues=jnp.diagonal(Ak), eigenvectors=V)
 
 
-def eigh(A: jax.Array, method: str = "xla") -> Eigh:
+def eigh(A: jax.Array, method: str = "xla", **kwargs) -> Eigh:
+    """Symmetric eigendecomposition.
+
+    * ``"xla"`` — ``jnp.linalg.eigh`` (best for one large matrix);
+    * ``"jacobi"`` — parallel-order cyclic Jacobi (``linalg.jacobi``):
+      the fleet engine for many small matrices, batch-minor or vmapped;
+    * ``"pallas"`` — the Pallas kernel with the same schedule
+      (``ops.eigh_jacobi``), TPU only, ``[n, n, B]`` batch-minor;
+    * ``"qr"`` — tinyqr's iterated-QR semantics (parity path).
+    """
     if method == "qr":
-        return eigh_qr(A)
+        return eigh_qr(A, **kwargs)
+    if method == "jacobi":
+        from .jacobi import eigh_jacobi
+
+        return eigh_jacobi(A, **kwargs)
+    if method == "pallas":
+        from ..ops.eigh_jacobi import eigh_jacobi_pallas
+
+        return eigh_jacobi_pallas(A, **kwargs)
+    if method != "xla":
+        raise ValueError(
+            f"unknown eigh method {method!r}; one of xla, jacobi, pallas, qr"
+        )
     w, v = jnp.linalg.eigh(A)
     return Eigh(eigenvalues=w, eigenvectors=v)

@@ -1,0 +1,145 @@
+"""Pallas batched symmetric eigensolver: parallel-order cyclic Jacobi.
+
+The tinyqr-class kernel (tinyqr.h:317-434 is the reference's iterated-QR
+eigensolver; its TPU consumer is the CMA-ES fleet, which needs thousands of
+small [n, n] eigendecompositions per generation).  Layout and schedule
+follow ``linalg.jacobi``: batch-minor ``[n, n, B]`` with the batch on the
+128-lane axis, a round-robin tournament of n/2 disjoint rotations per
+round, n-1 rounds per sweep.
+
+Kernel-specific choices:
+
+  * the batch is tiled on the lane axis (``tile`` lanes per program); A and
+    V tiles live entirely in VMEM across all sweeps — one HBM read and one
+    write per element regardless of sweep count (the pure-XLA path keeps
+    this property only if fusion wins; here it is structural);
+  * every index is **static**: rows/columns are moved with unrolled
+    ``[1, T]``-slice concatenations instead of gathers, and scalar pair
+    entries are ``[k, T]`` stacks — nothing Mosaic has to lower as dynamic
+    addressing (1-D intermediates are avoided throughout: this machine's
+    Mosaic helper rejects 1-D blocks, see ops/rank2.py);
+  * sweeps run in a ``fori_loop`` so code size stays one-sweep-sized.
+
+``eigh_jacobi_pallas`` takes ``[n, n, B]`` and returns the same
+``(eigenvalues [n, B], eigenvectors [n, n, B])`` contract as
+``linalg.jacobi.eigh_jacobi`` on batch-minor input.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..linalg.eigh_qr import Eigh
+from ..linalg.jacobi import _rotation, round_robin_schedule
+
+
+def _round(A, V, ps, qs, perm, dtype):
+    """Apply one tournament round's n/2 disjoint rotations to the whole
+    [n, n, T] tile with static-slice data movement only."""
+    n = A.shape[0]
+    app = jnp.concatenate([A[p, p : p + 1] for p in ps], axis=0)     # [k, T]
+    aqq = jnp.concatenate([A[q, q : q + 1] for q in qs], axis=0)
+    apq = jnp.concatenate([A[p, q : q + 1] for p, q in zip(ps, qs)], axis=0)
+    c, s = _rotation(app, aqq, apq, dtype)
+
+    role = {}                       # row -> (pair index, sign of s)
+    for i, (p, q) in enumerate(zip(ps, qs)):
+        role[int(p)] = (i, -1.0)
+        role[int(q)] = (i, 1.0)
+
+    crows, srows = [], []
+    T = A.shape[-1]
+    ones = jnp.ones((1, T), dtype)
+    zeros = jnp.zeros((1, T), dtype)
+    for r in range(n):
+        if r in role:
+            i, sign = role[r]
+            crows.append(c[i : i + 1])
+            srows.append(sign * s[i : i + 1])
+        else:                       # bye row (odd n): identity rotation
+            crows.append(ones)
+            srows.append(zeros)
+    Cv = jnp.concatenate(crows, axis=0)          # [n, T]
+    Sv = jnp.concatenate(srows, axis=0)
+
+    Arows = jnp.stack([A[int(perm[r])] for r in range(n)], axis=0)   # [n, n, T]
+    A = Cv[:, None] * A + Sv[:, None] * Arows                        # J^T A
+    Acols = jnp.concatenate(
+        [A[:, int(j) : int(j) + 1] for j in perm], axis=1
+    )                                                                # [n, n, T]
+    A = Cv[None] * A + Sv[None] * Acols                              # (J^T A) J
+    Vcols = jnp.concatenate(
+        [V[:, int(j) : int(j) + 1] for j in perm], axis=1
+    )
+    V = Cv[None] * V + Sv[None] * Vcols                              # V J
+    return A, V
+
+
+def _kernel(A_ref, out_w_ref, out_v_ref, *, n, sweeps, schedule):
+    dtype = A_ref.dtype
+    A = A_ref[...]
+    A = (A + jnp.swapaxes(A, 0, 1)) * jnp.asarray(0.5, dtype)
+    T = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, T))
+
+    def sweep(_, state):
+        A, V = state
+        for ps, qs, perm, _unused in schedule:
+            A, V = _round(A, V, ps, qs, perm, dtype)
+        return A, V
+
+    A, V = jax.lax.fori_loop(0, sweeps, sweep, (A, V))
+    out_w_ref[...] = jnp.concatenate([A[i, i : i + 1] for i in range(n)], axis=0)
+    out_v_ref[...] = V
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "tile", "sort", "interpret")
+)
+def eigh_jacobi_pallas(
+    A_bm: jax.Array,
+    sweeps: int = 10,
+    tile: int = 256,
+    sort: bool = True,
+    interpret: bool = False,
+) -> Eigh:
+    """Batched eigendecomposition of ``A_bm``: ``[n, n, B]`` batch-minor.
+
+    Returns eigenvalues ``[n, B]`` and eigenvectors ``[n, n, B]`` (column k
+    on axis 1).  ``sort=False`` skips the ascending sort — the CMA-ES fleet
+    does not need ordered spectra and saves the gather.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, n2, B = A_bm.shape
+    if n != n2:
+        raise ValueError(f"expected [n, n, B], got {A_bm.shape}")
+    tile = min(tile, B)
+    if B % tile:
+        raise ValueError(f"batch {B} must divide tile {tile}")
+    schedule = round_robin_schedule(n)
+    kern = functools.partial(_kernel, n=n, sweeps=sweeps, schedule=schedule)
+    w, V = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), A_bm.dtype),
+            jax.ShapeDtypeStruct((n, n, B), A_bm.dtype),
+        ),
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(A_bm)
+    if sort:
+        order = jnp.argsort(w, axis=0)
+        w = jnp.take_along_axis(w, order, axis=0)
+        V = jnp.take_along_axis(V, order[None], axis=1)
+    return Eigh(eigenvalues=w, eigenvectors=V)
