@@ -288,6 +288,111 @@ def bench_lm_fleet(B=4096, m=32, runs=5):
     }
 
 
+def bench_eigh_batched(B=4096, n=16, runs=5, sweeps=8, reps=20):
+    """Batched small-matrix symmetric eigendecomposition head-to-head:
+    the tinyqr-class kernel (tinyqr.h:317-434's role) on its real fleet
+    shape — thousands of [n, n] covariance matrices.
+
+    Contenders: vmapped ``jnp.linalg.eigh`` (XLA baseline), the
+    parallel-order Jacobi in pure jnp (batch-minor), and the Pallas
+    Jacobi kernel (TPU only).  Each timed run decomposes the batch
+    ``reps`` times back-to-back (data dependency via +eps*I re-symmetrize)
+    so the measurement amortizes the dispatch/fetch RTT.
+    """
+    from ..linalg.jacobi import eigh_jacobi
+
+    key = jax.random.key(0)
+    G = jax.random.normal(key, (B, n, n), jnp.float32)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    A_batch = G @ jnp.swapaxes(G, -1, -2) + 0.1 * eye          # [B, n, n] SPD
+    A_bm = jnp.moveaxis(A_batch, 0, -1)                        # [n, n, B]
+
+    def chain(decomp, rebuild):
+        def run(A):
+            def body(A, _):
+                w, V = decomp(A)
+                return rebuild(A, w, V), jnp.max(w)
+            _, tops = jax.lax.scan(body, A, None, length=reps)
+            return tops
+        return jax.jit(run)
+
+    rebuild_bM = lambda A, w, V: A + 1e-6 * jnp.max(w) * eye       # [B, n, n]
+    rebuild_bm = lambda A, w, V: A + 1e-6 * jnp.max(w) * eye[..., None]  # [n, n, B]
+    run_xla = chain(lambda A: jnp.linalg.eigh(A), rebuild_bM)
+    run_jac = chain(lambda A: eigh_jacobi(A, sweeps=sweeps, sort=False), rebuild_bm)
+    med_x, _ = _timed(lambda: run_xla(A_batch), runs)
+    med_j, _ = _timed(lambda: run_jac(A_bm), runs)
+    out = {
+        "name": "eigh_batched",
+        "B": B, "n": n, "sweeps": sweeps,
+        "xla_eigh_per_sec": B * reps / med_x,
+        "jacobi_eigh_per_sec": B * reps / med_j,
+        "jacobi_speedup_vs_xla": med_x / med_j,
+    }
+
+    # correctness anchor: jacobi reconstructs A to f32 precision (the
+    # einsum check itself must run at HIGHEST or the TPU MXU's bf16
+    # passes dominate the reported error)
+    w, V = eigh_jacobi(A_bm, sweeps=sweeps, sort=False)
+    recon = jnp.einsum(
+        "ik...,k...,jk...->ij...", V, w, V, precision=jax.lax.Precision.HIGHEST
+    )
+    out["jacobi_recon_rel_err"] = float(
+        jnp.max(jnp.abs(recon - A_bm)) / jnp.max(jnp.abs(A_bm))
+    )
+
+    if jax.default_backend() == "tpu":
+        from ..ops.eigh_jacobi import eigh_jacobi_pallas
+
+        run_pal = chain(
+            lambda A: eigh_jacobi_pallas(A, sweeps=sweeps, sort=False),
+            rebuild_bm,
+        )
+        med_p, _ = _timed(lambda: run_pal(A_bm), runs)
+        out["pallas_eigh_per_sec"] = B * reps / med_p
+        out["pallas_speedup_vs_xla"] = med_x / med_p
+    return out
+
+
+def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla")):
+    """CMA-ES fleet on 16-D Rastrigin: B independent strategies, one
+    eigendecomposition of [n, n] per strategy per generation (the workload
+    tinyqr.h:317-434 exists for, at fleet scale).  Reports generations/s
+    per eigensolver backend; ``pallas`` is appended automatically on TPU.
+    """
+    from ..solvers import cmaes_fleet
+
+    fn = PROBLEMS["rastrigin"].fn
+    X0 = jnp.full((n, B), -0.5, jnp.float32)
+    key = jax.random.key(0)
+    if jax.default_backend() == "tpu" and "pallas" not in methods:
+        methods = tuple(methods) + ("pallas",)
+
+    out = {"name": "cmaes_fleet", "instances": B, "dim": n, "generations": iters}
+    for method in methods:
+        cfg = cmaes_fleet.CMAESFleetConfig(
+            max_iter=1 << 30, best_value_no_change=1 << 30,
+            f_tol=0.0, kick_tol=0.0, cond_max=jnp.inf, eigh_method=method,
+        )
+
+        @jax.jit
+        def run(X0, key):
+            state = cmaes_fleet.init(fn, X0, cfg, key)
+            final = cmaes_fleet.drive_fleet_scan(
+                lambda s: cmaes_fleet.step(fn, s, cfg), state, iters
+            )
+            return final.best_value
+
+        med, _ = _timed(lambda: run(X0, key), runs)
+        out[f"{method}_gens_per_sec"] = B * iters / med
+        out[f"{method}_median_ms"] = med * 1e3
+    if "xla_gens_per_sec" in out:
+        others = [out[f"{m}_gens_per_sec"] for m in methods if m != "xla"]
+        if others:
+            out["best_speedup_vs_xla"] = max(others) / out["xla_gens_per_sec"]
+    return out
+
+
 ALL_BENCHES = {
     "nm_rosenbrock": bench_nm_rosenbrock,
     "de_batched": bench_de_batched,
@@ -296,4 +401,6 @@ ALL_BENCHES = {
     "bfgs_fleet": bench_bfgs_fleet,
     "rootfinder_batch": bench_rootfinder_batch,
     "lm_fleet": bench_lm_fleet,
+    "eigh_batched": bench_eigh_batched,
+    "cmaes_fleet": bench_cmaes_fleet,
 }

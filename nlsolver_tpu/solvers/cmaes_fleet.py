@@ -237,6 +237,19 @@ def _merge(pred, a: CMAESFleetState, b: CMAESFleetState) -> CMAESFleetState:
     return CMAESFleetState(**out)
 
 
+def drive_fleet_scan(step_fn, state: CMAESFleetState, trips: int) -> CMAESFleetState:
+    """Fixed-trip driver (lax.scan) for benchmarking: every run does
+    identical work; finished lanes stay frozen via the fleet ``_merge``
+    (the core ``drive_scan``'s tree_where assumes leading-batch layouts)."""
+
+    def body(s, _):
+        s2 = step_fn(s)
+        return _merge(s.done, s, s2), None
+
+    final, _ = lax.scan(body, state, None, length=trips)
+    return final
+
+
 def drive_fleet(step_fn, state: CMAESFleetState) -> CMAESFleetState:
     def body(s):
         s2 = step_fn(s)
