@@ -6,9 +6,12 @@ the fixed-trip scan driver — per-instance solver iterations per second on
 one chip, against the BASELINE.json north star of 1e5 iterations/s/chip.
 (8192 instances saturates one v5e chip; 2048 reaches only ~45% of peak.)
 
-``python bench.py --all`` additionally runs every BASELINE.json config
-scenario (NM single, PSO/SANN 100-D swarms, 10k-batch BFGS, 100k root
-finders, LM fit fleet) and prints their numbers on stderr.
+``python bench.py --all`` additionally runs the roofline microbenchmarks
+(measured chip ceilings: HBM stream, VPU cos issue, MXU f32 matmul) and
+every BASELINE.json config scenario, printing each on stderr with achieved
+%-of-measured-peak numbers and a one-line bound diagnosis.
+``--out FILE`` writes the full suite as one JSON artifact
+(BENCH_ALL_r{N}.json in the repo root is the round-stamped record).
 """
 import json
 import sys
@@ -16,19 +19,45 @@ import sys
 NORTH_STAR = 1.0e5  # BASELINE.json: >=1e5 batched solver iterations/s/chip
 
 
+def attach_peaks(out: dict, micro: dict) -> dict:
+    """Convert a scenario's analytic traffic/op models into fractions of
+    the MEASURED chip ceilings (not the paper spec), so 'fast' is
+    falsifiable: pct_hbm_peak ~100 means the scenario streams at the
+    chip's achievable bandwidth; pct_cos_peak ~100 means the VPU
+    transcendental pipe is saturated."""
+    for key, peak, name in (
+        ("model_gbps", micro["stream_gbps"], "pct_hbm_peak"),
+        ("pallas_model_gbps", micro["stream_gbps"], "pallas_pct_hbm_peak"),
+        ("model_gtrans_per_sec", micro["cos_gelems_per_sec"], "pct_cos_peak"),
+    ):
+        if key in out:
+            out[name] = round(100 * out[key] / peak, 1)
+    return out
+
+
 def main():
     import jax
 
-    from nlsolver_tpu.benches import ALL_BENCHES, bench_de_batched
+    from nlsolver_tpu.benches import (
+        ALL_BENCHES,
+        bench_de_batched,
+        bench_roofline_micro,
+    )
 
     dev = jax.devices()[0]
+    artifact = {"device": f"{dev.platform}:{dev.device_kind}"}
     if "--all" in sys.argv:
+        micro = bench_roofline_micro()
+        print(f"# {json.dumps(micro)}", file=sys.stderr)
+        artifact["roofline_micro"] = micro
         for name, fn in ALL_BENCHES.items():
             try:
-                out = fn()
+                out = attach_peaks(fn(), micro)
                 print(f"# {json.dumps(out)}", file=sys.stderr)
+                artifact[name] = out
             except Exception as e:
                 print(f"# {name} FAILED: {e!r}", file=sys.stderr)
+                artifact[name] = {"error": repr(e)}
 
     head = bench_de_batched()
     print(
@@ -37,16 +66,19 @@ def main():
         f"{head['instances']} instances x {head['generations']} DE generations",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "batched_de_solver_iterations_per_sec_per_chip",
-                "value": round(head["iters_per_sec"], 1),
-                "unit": "iter/s",
-                "vs_baseline": round(head["iters_per_sec"] / NORTH_STAR, 3),
-            }
-        )
-    )
+    headline = {
+        "metric": "batched_de_solver_iterations_per_sec_per_chip",
+        "value": round(head["iters_per_sec"], 1),
+        "unit": "iter/s",
+        "vs_baseline": round(head["iters_per_sec"] / NORTH_STAR, 3),
+    }
+    if "--out" in sys.argv:
+        artifact["headline"] = {**headline, **head}
+        path = sys.argv[sys.argv.index("--out") + 1]
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"# wrote {path}", file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

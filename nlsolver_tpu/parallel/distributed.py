@@ -28,18 +28,21 @@ from .mesh import DP_AXIS, POP_AXIS, make_mesh
 
 
 def initialize(**kwargs) -> None:
-    """Initialize the multi-host runtime (no-op for a single process).
+    """Initialize the multi-host runtime.
 
     Pass coordinator_address/num_processes/process_id explicitly outside
     TPU pod environments (on TPU pods they come from the metadata server).
+    With explicit kwargs failures propagate; without them a single-process
+    run that cannot auto-detect a coordinator is fine and stays local.
+    Exercised for real (2 CPU processes over a localhost coordinator) by
+    tests/test_distributed.py.
     """
-    if jax.process_count() > 1 or kwargs:
-        return  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
+        if kwargs:
+            raise
         # single-process run without coordinator info: fine
-        pass
 
 
 def global_mesh(dp: Optional[int] = None, pop: Optional[int] = None):

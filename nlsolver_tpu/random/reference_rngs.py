@@ -22,6 +22,7 @@ out a sequence.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple, Tuple
 
 import jax
@@ -118,9 +119,16 @@ def mul(a: U64, b: U64) -> U64:
 
 # ---------------------------------------------------------------- splitmix64
 
-_GOLDEN = from_int(0x9E3779B97F4A7C15)
-_M1 = from_int(0xBF58476D1CE4E5B9)
-_M2 = from_int(0x94D049BB133111EB)
+@lru_cache(maxsize=None)
+def _splitmix_consts():
+    """Materialized lazily: module-level jnp constants would initialize the
+    XLA backend at import time, which breaks jax.distributed.initialize()
+    in multi-process launches (tests/distributed_child.py)."""
+    return (
+        from_int(0x9E3779B97F4A7C15),   # golden ratio increment
+        from_int(0xBF58476D1CE4E5B9),
+        from_int(0x94D049BB133111EB),
+    )
 SPLITMIX_DEFAULT_SEED = 12374563468  # nlsolver.h:1265
 
 
@@ -134,9 +142,10 @@ def splitmix_init(seed: int = SPLITMIX_DEFAULT_SEED) -> SplitmixState:
 
 def splitmix_next_u64(state: SplitmixState) -> Tuple[U64, SplitmixState]:
     """splitmix64 step (nlsolver.h:1266-1278)."""
-    s = add(state.s, _GOLDEN)
-    r = mul(xor(s, shr(s, 30)), _M1)
-    r = mul(xor(r, shr(r, 27)), _M2)
+    golden, m1, m2 = _splitmix_consts()
+    s = add(state.s, golden)
+    r = mul(xor(s, shr(s, 30)), m1)
+    r = mul(xor(r, shr(r, 27)), m2)
     r = xor(r, shr(r, 31))
     return r, SplitmixState(s)
 
