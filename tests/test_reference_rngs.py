@@ -125,3 +125,69 @@ class TestCustomGeneratorInterop:
         assert float(r1.f_value) == float(r2.f_value)
         assert float(r1.f_value) < 1.0
         assert int(r1.function_calls) == 50 + 20 * 50
+
+
+class TestMT19937:
+    """Bit-parity of random/mt19937.py against libstdc++ (g++ 12).
+
+    Oracle constants measured from a compiled probe:
+        std::mt19937 g(42);                       // raw words
+        std::uniform_real_distribution<double> d(0.0, 1.0);  // canonical
+    (the same generator+distribution the reference harness wraps as its
+    user-RNG functor, test_functions.h:40-48)."""
+
+    # raw words 0..5 and word 2000 from std::mt19937(42)
+    RAW = [1608637542, 3421126067, 4083286876, 787846414, 3143890026,
+           3348747335]
+    RAW_2000 = 795139886
+    # d(g) draws 0..7 and draw 99999 (%.17g)
+    U = [0.79654298428784598, 0.18343478789336848, 0.77969099761266125,
+         0.59685016158005655, 0.44583275754843343, 0.099974920543840745,
+         0.45924888785418205, 0.33370861151865128]
+    U_99999 = 0.021807238317539099
+
+    def test_raw_words(self):
+        import jax
+        from jax import lax
+        from nlsolver_tpu.random import mt19937 as mt
+
+        def body(s, _):
+            u, s = mt.next_u32(s)
+            return s, u
+
+        _, us = jax.jit(
+            lambda s: lax.scan(body, s, None, length=2001)
+        )(mt.init(42))
+        assert [int(v) for v in us[:6]] == self.RAW
+        assert int(us[2000]) == self.RAW_2000
+
+    def test_canonical_doubles_bit_exact(self):
+        import jax
+        from jax import lax
+        from nlsolver_tpu.random import mt19937 as mt
+
+        def body(s, _):
+            u, s = mt.next_canonical(s)
+            return s, u
+
+        _, us = jax.jit(
+            lambda s: lax.scan(body, s, None, length=100000)
+        )(mt.init(42))
+        for got, want in zip([float(v) for v in us[:8]], self.U):
+            assert got == want
+        assert float(us[99999]) == self.U_99999
+
+    def test_registered_kind_drives_de(self):
+        import jax
+        import jax.numpy as jnp
+        from nlsolver_tpu.random import mt19937 as mt
+        from nlsolver_tpu.solvers import de_reference
+
+        mt.register_mt("mt", seed=42)
+        booth = lambda x: (x[0] + 2.0 * x[1] - 7.0) ** 2 + (
+            2.0 * x[0] + x[1] - 5.0
+        ) ** 2
+        cfg = de_reference.DEReferenceConfig(max_iter=25, rng="mt")
+        x0 = jnp.asarray([-0.5, -0.5], jnp.float64)
+        res = jax.jit(lambda x: de_reference.minimize(booth, x, cfg))(x0)
+        assert float(res.f_value) < 1.0

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from nlsolver_tpu import trace
 from nlsolver_tpu.deriv import Deriv
 from nlsolver_tpu.problems import PROBLEMS
+from nlsolver_tpu.random import mt19937
 from nlsolver_tpu.solvers import (bfgs, brent, cgd, de_reference, gd, lm,
                                   nelder_mead, rootfind)
 
@@ -200,7 +201,14 @@ DE_CONFIGS = {
     "de_rand_xorshift": dict(strategy="random", rng="xorshift"),
     "de_best_xorshift": dict(strategy="best", rng="xorshift"),
     "de_rand_xoshiro": dict(strategy="random", rng="xoshiro"),
+    "de_rand_recurrent": dict(strategy="random", rng="recurrent"),
+    "de_rand_halton": dict(strategy="random", rng="halton"),
+    # user-RNG interop: std::mt19937(42) + uniform_real_distribution via
+    # the reference_rngs.register hook (random/mt19937.py)
+    "de_rand_mt": dict(strategy="random", rng="mt"),
 }
+
+mt19937.register_mt("mt", seed=42)
 
 
 def _run_de(solver, problem, ks):

@@ -26,6 +26,7 @@
 #include <array>
 #include <cmath>
 #include <cstdio>
+#include <random>
 #include <string>
 #include <vector>
 
@@ -66,6 +67,18 @@ struct Quartic1D {
 };
 struct CubicRoot {
   double operator()(double x) { return cubic_root(x); }
+};
+
+// User-RNG interop oracle: std::mt19937(42) through libstdc++'s
+// uniform_real_distribution<double>, the same adapter shape the reference
+// harness uses (test_functions.h:40-48).  Our side replays it with the
+// pure-JAX mt19937 (nlsolver_tpu/random/mt19937.py) registered through the
+// reference_rngs.register hook.
+struct MTGen {
+  std::mt19937 generator;
+  std::uniform_real_distribution<double> distribution;
+  MTGen() : generator(42), distribution(0.0, 1.0) {}
+  double operator()() { return distribution(generator); }
 };
 
 // ---------------- output ----------------
@@ -311,10 +324,20 @@ int main() {
 
   using XS = nlsolver::rng::xorshift<double>;
   using XO = nlsolver::rng::xoshiro<double>;
+  using RC = nlsolver::rng::recurrent<double>;
+  using HL = nlsolver::rng::halton<double>;
   sweep_de<Rosenbrock, XS, nlsolver::random>("de_rand_xorshift", "rosenbrock");
   sweep_de<Booth, XS, nlsolver::random>("de_rand_xorshift", "booth");
   sweep_de<Rosenbrock, XS, nlsolver::best>("de_best_xorshift", "rosenbrock");
   sweep_de<Rosenbrock, XO, nlsolver::random>("de_rand_xoshiro", "rosenbrock");
+  // the remaining reference RNG streams (test_functions.h:328-384 runs
+  // recurrent and mt configs through the same solvers)
+  sweep_de<Rosenbrock, RC, nlsolver::random>("de_rand_recurrent", "rosenbrock");
+  sweep_de<Booth, RC, nlsolver::random>("de_rand_recurrent", "booth");
+  sweep_de<Rosenbrock, HL, nlsolver::random>("de_rand_halton", "rosenbrock");
+  sweep_de<Booth, HL, nlsolver::random>("de_rand_halton", "booth");
+  sweep_de<Rosenbrock, MTGen, nlsolver::random>("de_rand_mt", "rosenbrock");
+  sweep_de<Booth, MTGen, nlsolver::random>("de_rand_mt", "booth");
 
   sweep_sann<Rosenbrock, XS>("sann_xorshift", "rosenbrock");
   sweep_sann<Booth, XS>("sann_xorshift", "booth");
