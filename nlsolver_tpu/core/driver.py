@@ -17,23 +17,104 @@ One driver serves every execution mode:
 """
 from __future__ import annotations
 
-from typing import Callable, TypeVar
+from typing import Callable, Optional, TypeVar
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .utils import tree_where
 
 S = TypeVar("S")
 
+# state fields probed (in order) for the progress payload's "best" value
+_PROGRESS_VALUE_FIELDS = ("best_value", "f_value", "scores")
 
-def drive(step_fn: Callable[[S], S], init_state: S) -> S:
+
+def _progress_payload(state):
+    """(iteration, best, n_active) scalars from any solver state: the max
+    iteration across lanes, the min of the first value-like field, and the
+    count of unfinished lanes."""
+    it = jnp.max(state.iteration) if hasattr(state, "iteration") else jnp.int32(0)
+    best = jnp.float32(jnp.nan)
+    for f in _PROGRESS_VALUE_FIELDS:
+        if hasattr(state, f):
+            best = jnp.min(getattr(state, f)).astype(jnp.float32)
+            break
+    active = jnp.sum(~state.done).astype(jnp.int32)
+    return it.astype(jnp.int32), best, active
+
+
+def _wrap_progress(progress: Callable, every: int):
+    """Host-side shim: filters to every-k iterations (a second net behind
+    the device-side cond — under vmap, cond lowers to both-branches-execute
+    select, so filtering must not rely on the device predicate alone) and
+    hands the user plain Python scalars."""
+    seen = set()
+
+    def host_fn(it, best, active):
+        it = int(np.max(it))
+        if it % every and bool(np.min(active)):
+            return
+        if it in seen:
+            return
+        seen.add(it)
+        progress(iteration=it, best=float(np.min(best)),
+                 active=int(np.sum(active)))
+
+    return host_fn
+
+
+def attach_progress(body: Callable[[S], S], progress: Callable,
+                    progress_every: int = 50) -> Callable[[S], S]:
+    """Wrap a loop body so it reports (iteration, best, active) to the host
+    callback ``progress`` every ``progress_every`` iterations via an
+    unordered ``io_callback`` — the per-iteration observability hook for
+    long fleet solves (the reference prints only on destruction,
+    nlsolver.h:131-169; this streams while the chip runs).
+
+    Measured overhead (2048x64 DE fleet, report every 50 generations,
+    CPU — the axon tunnel's PJRT lacks host callbacks, so the hook is
+    CPU/direct-TPU only on this box): ~8% vs the silent solve
+    (examples/progress_monitor.py).
+    """
+    from jax.experimental import io_callback
+
+    every = max(int(progress_every), 1)
+    host_fn = _wrap_progress(progress, every)
+
+    def wrapped(state: S) -> S:
+        new_state = body(state)
+        it, best, active = _progress_payload(new_state)
+
+        def emit(args):
+            io_callback(host_fn, None, *args, ordered=False)
+
+        lax.cond((it % every == 0) | (active == 0), emit,
+                 lambda args: None, (it, best, active))
+        return new_state
+
+    return wrapped
+
+
+def drive(
+    step_fn: Callable[[S], S],
+    init_state: S,
+    progress: Optional[Callable] = None,
+    progress_every: int = 50,
+) -> S:
     """Run ``step_fn`` until the state's ``done`` flag is set.
 
     ``init_state`` must have a boolean ``done`` field.  ``step_fn`` is
     responsible for setting it; the driver additionally freezes already-done
     states so the body is idempotent on finished lanes (what makes
     vmap-over-while sound).
+
+    ``progress`` (optional) is a host callback invoked as
+    ``progress(iteration=..., best=..., active=...)`` every
+    ``progress_every`` iterations (plus once at termination) — see
+    :func:`attach_progress`.
     """
 
     def cond(state: S):
@@ -42,6 +123,9 @@ def drive(step_fn: Callable[[S], S], init_state: S) -> S:
     def body(state: S) -> S:
         new_state = step_fn(state)
         return tree_where(state.done, state, new_state)
+
+    if progress is not None:
+        body = attach_progress(body, progress, progress_every)
 
     return lax.while_loop(cond, body, init_state)
 

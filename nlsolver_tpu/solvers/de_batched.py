@@ -235,8 +235,13 @@ def minimize_batched(
     config: DEConfig = DEConfig(),
     *,
     keys: Optional[jax.Array] = None,
+    progress=None,
+    progress_every: int = 50,
     _minimize: bool = True,
 ) -> SolverResult:
+    """``progress`` (optional host callback, see ``core.driver.attach_
+    progress``) streams (iteration, best, active) every ``progress_every``
+    generations while the fleet runs."""
     if keys is None:
         keys = jax.random.split(jax.random.key(0), x0.shape[0])
     sfn = signed(fn, _minimize)
@@ -244,9 +249,10 @@ def minimize_batched(
 
     from jax import lax
 
-    state = lax.while_loop(
-        lambda s: ~jnp.all(s.done),
-        lambda s: step(sfn, s, config),
-        state,
-    )
+    body = lambda s: step(sfn, s, config)
+    if progress is not None:
+        from ..core.driver import attach_progress
+
+        body = attach_progress(body, progress, progress_every)
+    state = lax.while_loop(lambda s: ~jnp.all(s.done), body, state)
     return _finalize(state, flip_sign=not _minimize)

@@ -70,3 +70,59 @@ def test_debug_nans_context():
     with debug_nans(True):
         assert jax.config.jax_debug_nans
     assert not jax.config.jax_debug_nans
+
+
+class TestProgressHook:
+    """io_callback progress streaming on core.drive (driver.attach_progress)."""
+
+    def _run(self, **kw):
+        import jax
+        import jax.numpy as jnp
+        from nlsolver_tpu.problems import PROBLEMS
+        from nlsolver_tpu.solvers import de_batched
+        from nlsolver_tpu.solvers.de import DEConfig
+
+        calls = []
+
+        def progress(iteration, best, active):
+            calls.append((iteration, best, active))
+
+        cfg = DEConfig(pop_size=16, max_iter=40, best_value_no_change=1 << 30,
+                       eps=0.0, partner_sampling="rotation")
+        x0 = jnp.full((8, 3), -0.5, jnp.float32)
+        keys = jax.random.split(jax.random.key(0, impl="rbg"), 8)
+        res = jax.jit(
+            lambda x0, keys: de_batched.minimize_batched(
+                PROBLEMS["sphere"].fn, x0, cfg, keys=keys,
+                progress=progress, **kw)
+        )(x0, keys)
+        jax.block_until_ready(res.x)
+        return calls, res
+
+    def test_reports_every_k_and_at_termination(self):
+        calls, res = self._run(progress_every=10)
+        its = [c[0] for c in calls]
+        assert set(its) >= {10, 20, 30, 40}
+        # values are real floats and non-increasing at the reported points
+        bests = [c[1] for c in calls if c[0] in (10, 20, 30, 40)]
+        assert all(b2 <= b1 + 1e-6 for b1, b2 in zip(bests, bests[1:]))
+        # last report fires when all lanes finish
+        assert calls[-1][2] == 0 or calls[-1][0] >= 40
+
+    def test_silent_solve_identical(self):
+        import jax
+        import jax.numpy as jnp
+        from nlsolver_tpu.problems import PROBLEMS
+        from nlsolver_tpu.solvers import de_batched
+        from nlsolver_tpu.solvers.de import DEConfig
+
+        cfg = DEConfig(pop_size=16, max_iter=40, best_value_no_change=1 << 30,
+                       eps=0.0, partner_sampling="rotation")
+        x0 = jnp.full((8, 3), -0.5, jnp.float32)
+        keys = jax.random.split(jax.random.key(0, impl="rbg"), 8)
+        calls, res_mon = self._run(progress_every=10)
+        res_silent = jax.jit(
+            lambda x0, keys: de_batched.minimize_batched(
+                PROBLEMS["sphere"].fn, x0, cfg, keys=keys)
+        )(x0, keys)
+        assert jnp.array_equal(res_mon.f_value, res_silent.f_value)
