@@ -141,6 +141,111 @@ def _bm_kernel(H_ref, s_ref, y_ref, g_ref, rho_ref, reset_ref, Hout_ref, dout_re
     dout_ref[...] = -jnp.sum(Hn * g[None, :, :], axis=1)
 
 
+def _bm_rowtiled_kernel(
+    H_ref, s_r_ref, s_f_ref, hy_r_ref, hy_f_ref, g_ref, rho_ref, coef_ref,
+    reset_ref, Hout_ref, dout_ref, *, row0
+):
+    """Row-sliced update: this call owns H rows [row0, row0+tr); Hy and the
+    rho(1 + rho yHy) coefficient are precomputed inputs, so every remaining
+    term is row-local (including d' = -H' g, a contraction over the
+    in-block second axis)."""
+    H = H_ref[...]               # [tr, n, TB]
+    s_r = s_r_ref[...]           # [tr, TB] (this slice's rows of s)
+    s_f = s_f_ref[...]           # [n, TB]  (all of s)
+    hy_r = hy_r_ref[...]         # [tr, TB]
+    hy_f = hy_f_ref[...]         # [n, TB]
+    g = g_ref[...]               # [n, TB]
+    rho = rho_ref[...]           # [1, TB]
+    coef = coef_ref[...]         # [1, TB]
+    reset = reset_ref[...] > 0   # [1, TB]
+    tr, n = H.shape[0], H.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1)
+    eye = (row == col).astype(H.dtype)[:, :, None]
+    Heff = jnp.where(reset[None, :, :], eye, H)
+    r = rho[None, :, :]
+    sym = s_r[:, None, :] * hy_f[None, :, :] + hy_r[:, None, :] * s_f[None, :, :]
+    Hn = Heff - r * sym + coef[None, :, :] * (s_r[:, None, :] * s_f[None, :, :])
+    Hout_ref[...] = Hn
+    dout_ref[...] = -jnp.sum(Hn * g[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tile_r", "interpret"))
+def rank2_direction_batchminor_pallas_rowtiled(
+    H, s, y, g, rho, reset, tile: int = 256, tile_r: int = 8,
+    interpret: bool = False
+):
+    """Large-n variant: the n x n Hessian is split into row slices so an
+    [n, n, tile] block never has to fit VMEM (the round-2 verdict's n=128
+    overflow).  Hy / yHy are a cheap first pass (XLA-fused einsum, one
+    extra read of H); each row slice then streams through its own
+    1-D-grid kernel call — a Python loop, NOT a second grid axis, because
+    blocks that tile a leading dim and the lane dim together hang this
+    Mosaic toolchain (CLAUDE.md)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, _, B0 = H.shape
+    tile = min(tile, B0)
+    if n % tile_r:
+        raise ValueError(f"n={n} must divide tile_r={tile_r}")
+    pad = (-B0) % tile
+    if pad:
+        zpad3 = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+        zpad2 = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        H, s, y, g = zpad3(H), zpad2(s), zpad2(y), zpad2(g)
+        rho = jnp.pad(rho, (0, pad))
+        reset = jnp.pad(reset, (0, pad))
+    B = B0 + pad
+    eye = jnp.eye(n, dtype=H.dtype)[:, :, None]
+    Heff = jnp.where(reset[None, None, :], eye, H)
+    Hy = jnp.einsum("ijb,jb->ib", Heff, y)
+    yHy = jnp.einsum("ib,ib->b", y, Hy)
+    coef = rho * (1.0 + rho * yHy)
+
+    grid = (B // tile,)
+    rblk = lambda tr: pl.BlockSpec((tr, tile), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM)
+    lane = lambda: pl.BlockSpec((1, tile), lambda j: (0, j),
+                                memory_space=pltpu.VMEM)
+    hs, ds = [], []
+    for r0 in range(0, n, tile_r):
+        kern = functools.partial(_bm_rowtiled_kernel, row0=r0)
+        Hn_r, d_r = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((tile_r, n, B), H.dtype),
+                jax.ShapeDtypeStruct((tile_r, B), H.dtype),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_r, n, tile), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                rblk(tile_r), rblk(n), rblk(tile_r), rblk(n), rblk(n),
+                lane(), lane(), lane(),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_r, n, tile), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                rblk(tile_r),
+            ),
+            interpret=interpret,
+        )(
+            H[r0:r0 + tile_r], s[r0:r0 + tile_r], s,
+            Hy[r0:r0 + tile_r], Hy, g, rho[None, :], coef[None, :],
+            reset.astype(jnp.int32)[None, :],
+        )
+        hs.append(Hn_r)
+        ds.append(d_r)
+    Hn = jnp.concatenate(hs, axis=0)
+    d = jnp.concatenate(ds, axis=0)
+    # d rows were computed per row slice against the FULL Hn row slice, so
+    # the assembled [n, B] direction is already complete
+    if pad:
+        return Hn[:, :, :B0], d[:, :B0]
+    return Hn, d
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def rank2_direction_batchminor_pallas(
     H, s, y, g, rho, reset, tile: int = 512, interpret: bool = False
@@ -149,13 +254,16 @@ def rank2_direction_batchminor_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n, _, B = H.shape
-    # keep the [n, n, tile] block (x6 for in/out/temps) inside VMEM
+    # keep the [n, n, tile] block (x6 for in/out/temps) inside VMEM;
+    # when even tile=128 cannot fit (n >= ~90), switch to the row-tiled
+    # kernel that splits the Hessian across a second grid axis
     while tile > 128 and n * n * tile * 4 * 6 > 12 * 2**20:
         tile //= 2
     if n * n * tile * 4 * 6 > 12 * 2**20:
-        raise ValueError(
-            f"n={n} needs a [n, n, 128] block > VMEM; use the jnp path "
-            "(it is faster than this kernel for large n anyway — BENCH_NOTES.md)"
+        tile_r = 8 if n % 8 == 0 else 1
+        return rank2_direction_batchminor_pallas_rowtiled(
+            H, s, y, g, rho, reset, tile=min(256, B), tile_r=tile_r,
+            interpret=interpret,
         )
     tile = min(tile, B)
     pad = (-B) % tile

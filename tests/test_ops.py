@@ -59,3 +59,30 @@ def test_solve_spd_pallas_interpret(key):
     ref = solve_spd_batched(A, b)
     out = solve_spd_batched_pallas(A, b, tile=128, interpret=True)
     assert jnp.allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,B", [(128, 96), (64, 100), (16, 64)])
+def test_rank2_rowtiled_interpret_matches(key, n, B):
+    """Large-n row-sliced kernel (the round-2 verdict's n=128 VMEM fix):
+    one pallas_call per Hessian row slice, batch on the lane axis."""
+    from nlsolver_tpu.ops.rank2 import (
+        rank2_direction_batchminor_jnp,
+        rank2_direction_batchminor_pallas_rowtiled,
+    )
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    H = jax.random.normal(k1, (n, n, B), jnp.float32)
+    H = (H + jnp.swapaxes(H, 0, 1)) / 2
+    s = jax.random.normal(k2, (n, B), jnp.float32)
+    y = jax.random.normal(k3, (n, B), jnp.float32)
+    g = jax.random.normal(k4, (n, B), jnp.float32)
+    rho = jax.random.uniform(k5, (B,), jnp.float32, 0.1, 1.0)
+    reset = jnp.arange(B) % 3 == 0
+    Hj, dj = rank2_direction_batchminor_jnp(H, s, y, g, rho, reset)
+    Hp, dp = rank2_direction_batchminor_pallas_rowtiled(
+        H, s, y, g, rho, reset, tile=32, tile_r=8, interpret=True
+    )
+    scale_h = float(jnp.max(jnp.abs(Hj)))
+    scale_d = float(jnp.max(jnp.abs(dj)))
+    assert jnp.allclose(Hp, Hj, atol=1e-5 * scale_h)
+    assert jnp.allclose(dp, dj, atol=1e-5 * scale_d)
