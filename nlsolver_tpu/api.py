@@ -62,6 +62,7 @@ def _register():
         "nlls",
         "brent",
         "cmaes",
+        "cmaes_fleet",
         "lbfgs",
         "lbfgsb",
         "coordinate",
@@ -163,10 +164,22 @@ def _dispatch(
         return jax.vmap(one)(x0, keys)
 
     if layout == "fleet":
+        if method in ("cmaes", "cmaes_fleet"):
+            from .solvers import cmaes_fleet
+
+            if not _minimize:
+                inner_f = fn
+                fn = lambda x: -inner_f(x)  # noqa: E731
+            cfg = config if config is not None else cmaes_fleet.CMAESFleetConfig()
+            res = cmaes_fleet.minimize_fleet(fn, x0, cfg, bounds, key=key, **kwargs)
+            if not _minimize:
+                res = res._replace(f_value=-res.f_value)
+            return res
         if method not in ("bfgs", "bfgs_fleet"):
             raise ValueError(
                 f"layout='fleet' supports method='bfgs' (batch-minor lane "
-                f"fleet), got {method!r}; other methods batch via "
+                f"fleet) and method='cmaes' (lane-parallel CMA-ES "
+                f"strategies), got {method!r}; other methods batch via "
                 f"layout='batched'"
             )
         fleet = _METHODS["bfgs_fleet"]

@@ -527,6 +527,109 @@ def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla"))
     return out
 
 
+def bench_qr_batched(B=4096, m=16, n=8, runs=5, reps=20):
+    """Batched small-matrix QR head-to-head (tinyqr.h:253-310's role at
+    fleet scale): vmapped ``jnp.linalg.qr`` vs the Sameh-Kuck parallel
+    Givens wavefront (linalg/qr_parallel.py), and the implicit-Q^T
+    least-squares pipeline vs lstsq."""
+    from ..linalg.qr_parallel import least_squares_parallel, qr_parallel
+
+    key = jax.random.key(0)
+    A_batch = jax.random.normal(key, (B, m, n), jnp.float32)   # [B, m, n]
+    A_bm = jnp.moveaxis(A_batch, 0, -1)                        # [m, n, B]
+
+    def chain(run_one, A):
+        @jax.jit
+        def run(A):
+            def body(A, _):
+                r = run_one(A)
+                return A + 1e-6 * jnp.max(jnp.abs(r)), jnp.max(r)
+            _, tops = jax.lax.scan(body, A, None, length=reps)
+            return tops
+        return lambda: run(A)
+
+    med_x, _ = _timed(chain(lambda A: jnp.linalg.qr(A)[1], A_batch), runs)
+    med_p, _ = _timed(
+        chain(lambda A: qr_parallel(A, compute_q=False).R, A_bm), runs
+    )
+    out = {
+        "name": "qr_batched", "B": B, "m": m, "n": n,
+        "xla_qr_per_sec": B * reps / med_x,
+        "parallel_qr_per_sec": B * reps / med_p,
+        "parallel_speedup_vs_xla": med_x / med_p,
+    }
+
+    # correctness anchor at f32
+    Q, R = qr_parallel(A_bm)
+    rec = jnp.einsum(
+        "ik...,kj...->ij...", Q, R, precision=jax.lax.Precision.HIGHEST
+    )
+    out["recon_rel_err"] = float(
+        jnp.max(jnp.abs(rec - A_bm)) / jnp.max(jnp.abs(A_bm))
+    )
+
+    y = jax.random.normal(jax.random.key(1), (m, B), jnp.float32)
+    med_ls, _ = _timed(
+        chain(lambda A: least_squares_parallel(A, y), A_bm), runs
+    )
+    out["parallel_lstsq_per_sec"] = B * reps / med_ls
+    out["bound"] = "VPU f32 row rotations (m+2n-3 vectorized wavefront stages)"
+    return out
+
+
+def bench_de_fused_sweep(iters=50, runs=3, total_agents=1 << 18):
+    """Round-2 verdict #2: sweep the fused single-kernel DE generation over
+    P in {128, 256, 512} and a deliberately fusion-hostile objective (a
+    data-resident NLLS residual whose evaluation materializes a [.., m]
+    intermediate per candidate on the XLA path; the Pallas kernel keeps it
+    in VMEM/registers).  Reports us/generation for the XLA rotation path vs
+    the fused kernel at each point."""
+    from ..core.driver import drive_scan
+    from ..solvers import de, de_batched as deb
+
+    m = 64
+    t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float32)
+    y_data = 2.0 * jnp.exp(-1.3 * t)
+
+    def nlls(x):  # x: [2] -> scalar; closes over the resident data
+        r = x[0] * jnp.exp(-x[1] * t) - y_data
+        return jnp.sum(r * r)
+
+    rastrigin = PROBLEMS["rastrigin"].fn
+    out = {"name": "de_fused_sweep", "generations": iters, "rows": []}
+    for pname, fn, dim in (("rastrigin10", rastrigin, 10), ("nlls2x64", nlls, 2)):
+        for P in (128, 256, 512):
+            B = max(total_agents // P, 128)
+            x0 = jnp.full((B, dim), 1.0, jnp.float32)
+            keys = jax.random.split(jax.random.key(0, impl="rbg"), B)
+            row = {"objective": pname, "P": P, "B": B}
+            for fused in (False, True):
+                cfg = de.DEConfig(
+                    pop_size=P, max_iter=1 << 30, best_value_no_change=1 << 30,
+                    eps=0.0, partner_sampling="rotation", use_fused_kernel=fused,
+                )
+
+                @jax.jit
+                def run(x0, keys):
+                    state = deb.init(fn, x0, cfg, keys)
+                    final = drive_scan(
+                        lambda s: deb.step(fn, s, cfg), state, iters
+                    )
+                    return jnp.min(final.scores, axis=-1)
+
+                med, _ = _timed(lambda: run(x0, keys), runs)
+                row["fused_us_per_gen" if fused else "xla_us_per_gen"] = (
+                    med * 1e6 / iters
+                )
+            row["fused_speedup"] = row["xla_us_per_gen"] / row["fused_us_per_gen"]
+            out["rows"].append(row)
+    out["fused_wins"] = [
+        f"{r['objective']}/P={r['P']}" for r in out["rows"]
+        if r["fused_speedup"] > 1.0
+    ]
+    return out
+
+
 ALL_BENCHES = {
     "nm_rosenbrock": bench_nm_rosenbrock,
     "de_batched": bench_de_batched,
@@ -537,4 +640,5 @@ ALL_BENCHES = {
     "lm_fleet": bench_lm_fleet,
     "eigh_batched": bench_eigh_batched,
     "cmaes_fleet": bench_cmaes_fleet,
+    "qr_batched": bench_qr_batched,
 }

@@ -1,5 +1,6 @@
 from .eigh_qr import Eigh, eigh, eigh_qr
 from .givens import QR, givens_rotation, qr, qr_givens, validate_qr
+from .qr_parallel import backsolve_bm, least_squares_parallel, qr_parallel
 from .solve import (
     backsolve,
     cholesky,
@@ -22,6 +23,9 @@ __all__ = [
     "least_squares",
     "qr",
     "qr_givens",
+    "qr_parallel",
+    "least_squares_parallel",
+    "backsolve_bm",
     "solve_cholesky",
     "validate_qr",
 ]

@@ -61,9 +61,16 @@ def qr_givens(A: jax.Array) -> QR:
 
 
 def qr(A: jax.Array, method: str = "householder") -> QR:
-    """QR with selectable backend: XLA Householder (default) or Givens."""
+    """QR with selectable backend: XLA Householder (default), sequential
+    Givens (the reference algorithm), or the batched parallel-order
+    Sameh-Kuck wavefront (``method="parallel"``, for [m, n, *batch]
+    fleets — linalg/qr_parallel.py)."""
     if method == "givens":
         return qr_givens(A)
+    if method == "parallel":
+        from .qr_parallel import qr_parallel
+
+        return qr_parallel(A)
     q, r = jnp.linalg.qr(A)
     return QR(Q=q, R=r)
 

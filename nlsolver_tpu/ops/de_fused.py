@@ -97,6 +97,10 @@ def de_generation_fused(
 
     B, n, P = agents.shape
     tile = min(tile, B)
+    # scoped VMEM is 16 MB; the kernel's working set is ~6x the agent
+    # block (A, donor, u, prop, out + the [P, P] selection matmul temps)
+    while tile > 8 and tile * n * P * 4 * 6 > 12 * 2**20:
+        tile //= 2
     if B % tile:
         raise ValueError(f"batch {B} must divide by tile {tile}")
     kernel = _make_kernel(fn, n, P, cross_prob, diff_weight)

@@ -37,6 +37,12 @@ class NLLSConfig:
     max_iter: int = 100
     f_delta: float = 1e-12
     grad_eps: float = 1e-12
+    # "cholesky": damped normal equations (J^T J + lam I, linalg.damped_solve
+    # — the reference's get_update_with_hessian path, nlsolver.h:296-330);
+    # "qr": least-squares on the augmented system [J; sqrt(lam) I] via the
+    # batched parallel Givens QR (linalg/qr_parallel.py) — avoids squaring
+    # the condition number on near-rank-deficient Jacobians
+    solve: str = "cholesky"
 
 
 class NLLSState(NamedTuple):
@@ -84,7 +90,17 @@ def step(residual_fn: Callable, state: NLLSState, config: NLLSConfig) -> NLLSSta
     )
     halted = state._replace(done=jnp.asarray(True), converged=hit_tol)
 
-    delta = damped_solve(JtJ, g, state.lam)
+    if config.solve == "qr":
+        from ..linalg.qr_parallel import least_squares_parallel
+
+        n = J.shape[1]
+        A_aug = jnp.concatenate(
+            [J, jnp.sqrt(state.lam) * jnp.eye(n, dtype=J.dtype)], axis=0
+        )
+        y_aug = jnp.concatenate([r, jnp.zeros((n,), r.dtype)])
+        delta = least_squares_parallel(A_aug, y_aug)
+    else:
+        delta = damped_solve(JtJ, g, state.lam)
     x_try = state.x - delta
     cost_try = _cost(residual_fn, x_try)
     improved = cost_try < state.cost

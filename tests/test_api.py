@@ -137,3 +137,21 @@ def test_nlls_reexports():
         lambda p: model(p, t) - y, jnp.zeros((4, 2))
     )
     assert res_b.x.shape == (4, 2)
+
+
+def test_cmaes_fleet_via_minimize(key):
+    """layout='fleet' + method='cmaes' reaches the lane-parallel CMA-ES."""
+    import nlsolver_tpu
+    from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
+
+    rosen = lambda x: 100.0 * (x[0] ** 2 - x[1]) ** 2 + (x[0] - 1.0) ** 2
+    B = 16
+    X0 = jnp.full((2, B), -0.5)
+    res = jax.jit(
+        lambda X0, k: nlsolver_tpu.minimize(
+            rosen, X0, method="cmaes", layout="fleet",
+            config=CMAESFleetConfig(max_iter=200), key=k,
+        )
+    )(X0, key)
+    assert res.x.shape == (2, B)
+    assert float(jnp.median(res.f_value)) < 1e-4

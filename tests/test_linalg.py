@@ -128,3 +128,62 @@ def test_batched_via_vmap(key):
     bs = jnp.ones((16, 4))
     xs = jax.jit(jax.vmap(solve_cholesky))(As, bs)
     assert jnp.allclose(jnp.einsum("bij,bj->bi", As, xs), bs, atol=1e-8)
+
+
+class TestParallelQR:
+    """Batched parallel-order Givens QR (Sameh-Kuck wavefront,
+    linalg/qr_parallel.py — tinyqr.h:253-310's role at fleet scale)."""
+
+    def test_schedule_disjoint_and_complete(self):
+        from nlsolver_tpu.linalg.qr_parallel import sameh_kuck_schedule
+
+        m, n = 9, 6
+        seen = set()
+        for ps, qs, js, perm in sameh_kuck_schedule(m, n):
+            rows = list(ps) + list(qs)
+            assert len(rows) == len(set(rows))  # row-disjoint stage
+            for q, j in zip(qs, js):
+                seen.add((int(q), int(j)))
+        assert seen == {(i, j) for j in range(n) for i in range(j + 1, m)}
+
+    @pytest.mark.parametrize("m,n,B", [(8, 8, 16), (12, 5, 64), (4, 4, 1)])
+    def test_factorization(self, key, m, n, B):
+        from nlsolver_tpu.linalg import qr_parallel
+
+        A = jax.random.normal(key, (m, n, B), jnp.float64)
+        Q, R = jax.jit(qr_parallel)(A)
+        rec = jnp.einsum("ik...,kj...->ij...", Q, R)
+        orth = jnp.einsum("ki...,kj...->ij...", Q, Q) - jnp.eye(m)[:, :, None]
+        assert float(jnp.max(jnp.abs(rec - A))) < 1e-12
+        assert float(jnp.max(jnp.abs(orth))) < 1e-12
+        assert float(jnp.max(jnp.abs(jnp.tril(jnp.moveaxis(R, -1, 0), -1)))) < 1e-12
+
+    def test_least_squares_matches_lstsq(self, key):
+        from nlsolver_tpu.linalg import least_squares_parallel
+
+        m, n, B = 32, 3, 16
+        k1, k2, k3 = jax.random.split(key, 3)
+        A = jax.random.normal(k1, (m, n, B), jnp.float64)
+        x_true = jax.random.normal(k2, (n, B), jnp.float64)
+        y = jnp.einsum("mn...,n...->m...", A, x_true)
+        y = y + 0.01 * jax.random.normal(k3, (m, B), jnp.float64)
+        x = jax.jit(least_squares_parallel)(A, y)
+        for b in range(4):
+            xl = jnp.linalg.lstsq(A[:, :, b], y[:, b])[0]
+            assert float(jnp.max(jnp.abs(x[:, b] - xl))) < 1e-10
+
+    def test_qr_dispatcher(self, key):
+        from nlsolver_tpu.linalg import qr
+
+        A = jax.random.normal(key, (6, 6, 8), jnp.float32)
+        Q, R = qr(A, method="parallel")
+        rec = jnp.einsum("ik...,kj...->ij...", Q, R)
+        assert float(jnp.max(jnp.abs(rec - A))) < 1e-4
+
+    def test_vmap_over_leading_axis(self, key):
+        from nlsolver_tpu.linalg import qr_parallel
+
+        A = jax.random.normal(key, (5, 6, 6), jnp.float64)  # leading batch
+        Q, R = jax.vmap(qr_parallel)(A)
+        rec = jnp.einsum("bik,bkj->bij", Q, R)
+        assert float(jnp.max(jnp.abs(rec - A))) < 1e-12

@@ -69,3 +69,30 @@ def test_sharded_fleet(key):
 
     res = fit_sharded(residual, jnp.zeros((B, 1)), nlls.NLLSConfig(), mesh, data=ys)
     assert jnp.allclose(res.x[:, 0], slopes, atol=1e-5)
+
+
+def test_qr_solve_path_matches_cholesky(key):
+    """NLLSConfig(solve="qr"): augmented-system Givens QR step reaches the
+    same fits as the damped normal equations on a well-posed problem."""
+    from nlsolver_tpu.solvers import nlls
+
+    B, m = 64, 24
+    t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float64)
+    k1, k2 = jax.random.split(key)
+    amps = jax.random.uniform(k1, (B,), jnp.float64, 1.0, 3.0)
+    rates = jax.random.uniform(k2, (B,), jnp.float64, 0.5, 2.0)
+    ys = amps[:, None] * jnp.exp(-rates[:, None] * t[None, :])
+
+    def residual(p, y_i):
+        return p[0] * jnp.exp(-p[1] * t) - y_i
+
+    x0 = jnp.ones((B, 2), jnp.float64)
+    fits = {}
+    for solve in ("cholesky", "qr"):
+        cfg = nlls.NLLSConfig(max_iter=40, solve=solve)
+        res = jax.jit(
+            lambda x0: nlls.fit_batched(residual, x0, cfg, data=ys)
+        )(x0)
+        assert float(jnp.max(res.f_value)) < 1e-10, solve
+        fits[solve] = res.x
+    assert jnp.allclose(fits["qr"], fits["cholesky"], atol=1e-6)
