@@ -38,6 +38,12 @@ def attach_peaks(out: dict, micro: dict) -> dict:
 def main():
     import jax
 
+    # persistent compile cache (same one the test suite uses): repeat bench
+    # invocations skip the 30-40 s XLA compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from nlsolver_tpu.benches import (
         ALL_BENCHES,
         bench_de_batched,
