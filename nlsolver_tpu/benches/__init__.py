@@ -527,11 +527,22 @@ def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla"))
     return out
 
 
-def bench_qr_batched(B=4096, m=16, n=8, runs=5, reps=20):
+def bench_qr_shapes(B=4096, runs=5, reps=20):
+    """QR regime map: the wavefront wins on square fleets (1.2x at
+    [16,16]), loses on tall-thin ([32,8]: 0.76x) where XLA's batched
+    Householder shines — unlike eigh, XLA's QR vmaps well."""
+    rows = [bench_qr_batched(B=B, m=m, n=n, runs=runs, reps=reps)
+            for (m, n) in ((16, 16), (16, 8), (32, 8))]
+    return {"name": "qr_shapes", "rows": rows}
+
+
+def bench_qr_batched(B=4096, m=16, n=16, runs=5, reps=20):
     """Batched small-matrix QR head-to-head (tinyqr.h:253-310's role at
     fleet scale): vmapped ``jnp.linalg.qr`` vs the Sameh-Kuck parallel
     Givens wavefront (linalg/qr_parallel.py), and the implicit-Q^T
-    least-squares pipeline vs lstsq."""
+    least-squares pipeline vs lstsq.  Default shape is the square fleet
+    (the wavefront's winning regime, 1.2x); ``bench_qr_shapes`` maps the
+    regimes including where XLA's Householder wins."""
     from ..linalg.qr_parallel import least_squares_parallel, qr_parallel
 
     key = jax.random.key(0)
