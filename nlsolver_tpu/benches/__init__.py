@@ -528,9 +528,10 @@ def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla"))
 
 
 def bench_qr_shapes(B=4096, runs=5, reps=20):
-    """QR regime map: the wavefront wins on square fleets (1.2x at
-    [16,16]), loses on tall-thin ([32,8]: 0.76x) where XLA's batched
-    Householder shines — unlike eigh, XLA's QR vmaps well."""
+    """QR regime map: the wavefront is competitive but behind XLA at every
+    measured shape ([16,16]: 0.90x, [32,8]: 0.76x) — unlike eigh, XLA's
+    batched Householder QR vmaps well.  The wavefront's value is the
+    batch-minor fleet layout + trailing-batch least squares."""
     rows = [bench_qr_batched(B=B, m=m, n=n, runs=runs, reps=reps)
             for (m, n) in ((16, 16), (16, 8), (32, 8))]
     return {"name": "qr_shapes", "rows": rows}
@@ -540,9 +541,8 @@ def bench_qr_batched(B=4096, m=16, n=16, runs=5, reps=20):
     """Batched small-matrix QR head-to-head (tinyqr.h:253-310's role at
     fleet scale): vmapped ``jnp.linalg.qr`` vs the Sameh-Kuck parallel
     Givens wavefront (linalg/qr_parallel.py), and the implicit-Q^T
-    least-squares pipeline vs lstsq.  Default shape is the square fleet
-    (the wavefront's winning regime, 1.2x); ``bench_qr_shapes`` maps the
-    regimes including where XLA's Householder wins."""
+    least-squares pipeline vs lstsq.  ``bench_qr_shapes`` maps the shape
+    regimes (XLA's Householder leads everywhere: 0.76-0.90x)."""
     from ..linalg.qr_parallel import least_squares_parallel, qr_parallel
 
     key = jax.random.key(0)
