@@ -101,7 +101,7 @@ def _kernel(A_ref, out_w_ref, out_v_ref, *, n, sweeps, schedule):
 def eigh_jacobi_pallas(
     A_bm: jax.Array,
     sweeps: int = 10,
-    tile: int = 256,
+    tile: int = 128,
     sort: bool = True,
     interpret: bool = False,
 ) -> Eigh:

@@ -50,7 +50,7 @@ class CMAESFleetConfig:
     # "xla" (vmapped jnp.linalg.eigh — the baseline the others beat)
     eigh_method: str = "jacobi"
     sweeps: int = 8
-    pallas_tile: int = 256
+    pallas_tile: int = 128
 
 
 class CMAESFleetState(NamedTuple):
