@@ -67,6 +67,12 @@ class CMAESConfig:
     # on sustained stagnation keeps the kick for genuine premature
     # collapse (plateaus, needle-in-haystack landscapes).
     kick_patience: int = 10
+    # "xla" (jnp.linalg.eigh — best single-instance) or "jacobi" (the
+    # batched parallel-order Jacobi, linalg/jacobi.py — use when this
+    # solver is vmapped over many instances: XLA's batched eigh is the
+    # many-small-matrix worst case, 25-40x slower on a v5e; for large
+    # fleets prefer solvers/cmaes_fleet.py outright)
+    eigh_method: str = "xla"
 
 
 class CMAESState(NamedTuple):
@@ -143,7 +149,12 @@ def step(
     weights = weights.astype(dtype)
 
     # eigendecomposition C = B D^2 B^T
-    eigvals, B = jnp.linalg.eigh(state.C)
+    if config.eigh_method == "jacobi":
+        from ..linalg.jacobi import eigh_jacobi
+
+        eigvals, B = eigh_jacobi(state.C)
+    else:
+        eigvals, B = jnp.linalg.eigh(state.C)
     eigvals = jnp.maximum(eigvals, 1e-20)
     D = jnp.sqrt(eigvals)
     cond = eigvals[-1] / eigvals[0]

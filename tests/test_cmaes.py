@@ -121,3 +121,19 @@ def test_restart_variance_kick(key):
     # 70 kicking generations at >= exp(0.2) each is > e^14 ~ 1e6 growth
     assert sigma_kicked > 1e3 * 1e-6, sigma_kicked
     assert sigma_kicked > 100.0 * sigma_plain, (sigma_kicked, sigma_plain)
+
+
+def test_jacobi_eigh_backend(key):
+    """CMAESConfig(eigh_method='jacobi') solves as well as the XLA eigh
+    (the switch exists for vmapped batches, where XLA's batched eigh is
+    the many-small-matrix worst case)."""
+    from nlsolver_tpu.solvers import cmaes
+
+    rosen = lambda x: 100.0 * (x[0] ** 2 - x[1]) ** 2 + (x[0] - 1.0) ** 2
+    x0 = jnp.asarray([-0.5, -0.5])
+    for method in ("xla", "jacobi"):
+        cfg = cmaes.CMAESConfig(max_iter=300, eigh_method=method)
+        res = jax.jit(lambda x, k: cmaes.minimize(rosen, x, cfg, key=k))(
+            x0, key
+        )
+        assert float(res.f_value) < 1e-8, method
