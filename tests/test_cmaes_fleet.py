@@ -105,3 +105,28 @@ def test_fleet_lanes_are_independent(key):
     # himmelblau has 4 minima; 32 independent lanes must find >= 2 of them
     basins = {tuple(np.round(xs[:, b], 1)) for b in range(B)}
     assert len(basins) >= 2, basins
+
+
+def test_fleet_checkpoint_resume_bit_exact(key, tmp_path):
+    """Pause/resume a CMA-ES fleet mid-run through utils.checkpoint: the
+    resumed trajectory must be bit-identical to the uninterrupted one
+    (state is a pytree incl. the typed PRNG key)."""
+    from nlsolver_tpu.utils import checkpoint
+
+    B = 8
+    X0 = jnp.full((2, B), -0.5, jnp.float32)
+    cfg = CMAESFleetConfig(max_iter=1 << 30, best_value_no_change=1 << 30)
+
+    step = jax.jit(lambda s: cmaes_fleet.step(rosen, s, cfg))
+    s = cmaes_fleet.init(rosen, X0, cfg, key)
+    for _ in range(5):
+        s = step(s)
+    path = str(tmp_path / "fleet.npz")
+    checkpoint.save(path, s)
+    s_resumed = checkpoint.load(path, like=s)
+    for _ in range(5):
+        s = step(s)
+        s_resumed = step(s_resumed)
+    assert jnp.array_equal(s.mean, s_resumed.mean)
+    assert jnp.array_equal(s.C, s_resumed.C)
+    assert jnp.array_equal(s.best_value, s_resumed.best_value)
