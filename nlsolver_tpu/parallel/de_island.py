@@ -53,9 +53,24 @@ def minimize_islands(
     mesh,
     keys: Optional[jax.Array] = None,   # [B] instance keys
     migration_interval: int = 10,
+    sync_interval: int = 1,
 ) -> SolverResult:
     """Solve B instances, each with ``pop`` agents split into
-    ``mesh.shape[POP_AXIS]`` DE islands with ring migration."""
+    ``mesh.shape[POP_AXIS]`` DE islands with ring migration.
+
+    ``sync_interval``: generations per global termination check.  The
+    while_loop's cond carries the only dp-axis collective — the one that
+    crosses hosts/DCN when dp spans processes; checking every k
+    generations amortizes that latency k-fold at the cost of at most k-1
+    frozen (no-op) trailing generations per lane.  Results are bit-
+    identical (lanes freeze on their exact termination generation;
+    tests/test_de_island.py).  NOTE the 2-process CPU harness
+    (tools/two_process_bench.py) shows this knob does NOT rescue Gloo's
+    ~11% efficiency there — on CPU the dominant cost is per-collective
+    rendezvous of the per-generation POP-axis stats/migration ops, which
+    on real hardware ride intra-host ICI at sub-us; the knob targets the
+    genuine DCN-latency term only (SCALING.md "Measured 2-process
+    overhead")."""
     B, n = x0.shape
     pop = config.pop_size
     dp_size = mesh.shape[DP_AXIS]
@@ -217,7 +232,13 @@ def minimize_islands(
 
             return {k: pick(k) for k in worked}
 
-        final = lax.while_loop(cond, body, init_state)
+        if sync_interval > 1:
+            outer_body = lambda s: lax.fori_loop(
+                0, sync_interval, lambda _, st: body(st), s
+            )
+        else:
+            outer_body = body
+        final = lax.while_loop(cond, outer_body, init_state)
 
         # one gather at the end to extract the global best member
         scores_g = lax.all_gather(final["scores"], POP_AXIS, axis=1, tiled=True)
