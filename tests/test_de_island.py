@@ -93,3 +93,29 @@ def test_no_per_generation_gather(mesh, key):
     body_region = loop.split("ENTRY")[0]
     assert "collective-permute" in hlo
     assert body_region.count("all-gather") == 0, "gather leaked into the loop"
+
+
+def test_sync_interval_results_identical():
+    """sync_interval batches the dp-axis termination check; results and
+    per-lane iteration counts must be bit-identical to per-generation
+    checking (lanes freeze on their exact termination generation)."""
+    import numpy as np
+
+    from nlsolver_tpu.parallel import de_island
+    from nlsolver_tpu.parallel.mesh import make_mesh
+    from nlsolver_tpu.problems import PROBLEMS
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    mesh = make_mesh(4, dp=2, pop=2)
+    cfg = DEConfig(pop_size=16, max_iter=150)
+    x0 = jnp.asarray(np.linspace(-2.0, 2.0, 40, dtype=np.float32).reshape(8, 5))
+    keys = jax.random.split(jax.random.key(7), 8)
+    run = lambda si: jax.jit(
+        lambda x, k: de_island.minimize_islands(
+            PROBLEMS["sphere"].fn, x, cfg, mesh, keys=k, sync_interval=si
+        )
+    )(x0, keys)
+    r1, r4 = run(1), run(4)
+    assert jnp.array_equal(r1.f_value, r4.f_value)
+    assert jnp.array_equal(r1.x, r4.x)
+    assert jnp.array_equal(r1.iterations, r4.iterations)
