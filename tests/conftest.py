@@ -20,12 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 # The env var alone does not beat the preinstalled axon TPU plugin; force CPU
-# explicitly so tests run on the 8 virtual devices.
-jax.config.update("jax_platforms", "cpu")
+# explicitly so tests run on the 8 virtual devices.  NLSOLVER_TEST_TPU=1
+# keeps the real device instead — for the two fused-kernel tests that have
+# no CPU lowering (pltpu.prng_seed):
+#   NLSOLVER_TEST_TPU=1 pytest tests/test_de_fused.py tests/test_de_batched.py
+if not os.environ.get("NLSOLVER_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Solver literature (and the reference, which is double-only) assumes f64;
-# tests validate numerics in both widths where it matters.
-jax.config.update("jax_enable_x64", True)
+# tests validate numerics in both widths where it matters.  (Not on real
+# TPU — no f64 hardware; the TPU mode only runs the fused-kernel tests.)
+if not os.environ.get("NLSOLVER_TEST_TPU"):
+    jax.config.update("jax_enable_x64", True)
 
 # This box has 2 CPUs; XLA compiles dominate test time. Persist them.
 jax.config.update("jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache")
