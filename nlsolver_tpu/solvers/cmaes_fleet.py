@@ -51,12 +51,23 @@ class CMAESFleetConfig:
     eigh_method: str = "jacobi"
     sweeps: int = 8
     pallas_tile: int = 128
+    # Hansen's lazy eigendecomposition (tutorial code's `eigeneval` gating):
+    # recompute B, D every k generations and sample from the stale basis in
+    # between — C itself accumulates every generation.  The
+    # eigendecomposition dominates the fleet step (~95% with the Pallas
+    # kernel), so throughput scales almost linearly with this interval;
+    # the tutorial's guidance is ~1/(c1+cmu)/n/10 generations of staleness
+    # being statistically invisible.  1 = recompute every generation
+    # (bit-identical to the eager path).
+    eigen_interval: int = 1
 
 
 class CMAESFleetState(NamedTuple):
     mean: jax.Array        # [n, B]
     sigma: jax.Array       # [B]
     C: jax.Array           # [n, n, B]
+    D: jax.Array           # [n, B]    sqrt-eigenvalues of C (possibly stale)
+    Bv: jax.Array          # [n, n, B] eigenbasis of C (possibly stale)
     p_sigma: jax.Array     # [n, B]
     p_c: jax.Array         # [n, B]
     best_x: jax.Array      # [n, B]
@@ -65,6 +76,7 @@ class CMAESFleetState(NamedTuple):
     iteration: jax.Array   # [B] int32
     nfev: jax.Array        # [B] int32
     no_change: jax.Array   # [B] int32
+    gen: jax.Array         # () int32 fleet-global generation counter
     key: jax.Array
     done: jax.Array        # [B] bool
     converged: jax.Array   # [B] bool
@@ -93,10 +105,13 @@ def init(fn, X0: jax.Array, config: CMAESFleetConfig, key: jax.Array) -> CMAESFl
     n, B = X0.shape
     dtype = X0.dtype
     f0 = colwise(fn)(X0)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, B))
     return CMAESFleetState(
         mean=X0,
         sigma=jnp.full((B,), config.sigma0, dtype),
-        C=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, B)),
+        C=eye,
+        D=jnp.ones((n, B), dtype),
+        Bv=eye,
         p_sigma=jnp.zeros((n, B), dtype),
         p_c=jnp.zeros((n, B), dtype),
         best_x=X0,
@@ -105,6 +120,7 @@ def init(fn, X0: jax.Array, config: CMAESFleetConfig, key: jax.Array) -> CMAESFl
         iteration=jnp.zeros((B,), jnp.int32),
         nfev=jnp.ones((B,), jnp.int32),
         no_change=jnp.zeros((B,), jnp.int32),
+        gen=jnp.int32(0),
         key=key,
         done=jnp.zeros((B,), bool),
         converged=jnp.zeros((B,), bool),
@@ -124,9 +140,25 @@ def step(
     )
     w = jnp.asarray(weights, dtype)                        # [mu]
 
-    eigvals, Bv = _eigh_bm(state.C, config)                # [n, B], [n, n, B]
-    eigvals = jnp.maximum(eigvals, 1e-20)
-    D = jnp.sqrt(eigvals)                                  # [n, B]
+    if config.eigen_interval > 1:
+        # lazy eigendecomposition: refresh B, D every eigen_interval
+        # generations (scalar fleet-global pred -> real cond, the eigh is
+        # skipped entirely on stale generations); C itself accumulates
+        # every generation
+        def refresh(C):
+            ev, Q = _eigh_bm(C, config)
+            return jnp.sqrt(jnp.maximum(ev, 1e-20)), Q
+
+        D, Bv = lax.cond(
+            state.gen % config.eigen_interval == 0,
+            refresh,
+            lambda C: (state.D, state.Bv),
+            state.C,
+        )
+    else:
+        ev, Bv = _eigh_bm(state.C, config)
+        D = jnp.sqrt(jnp.maximum(ev, 1e-20))
+    eigvals = D * D                                        # [n, B]
     cond = jnp.max(eigvals, axis=0) / jnp.min(eigvals, axis=0)
 
     improved = state.best_value < state.prev_best - config.f_tol
@@ -207,6 +239,8 @@ def step(
         mean=new_mean,
         sigma=sigma,
         C=C,
+        D=D,
+        Bv=Bv,
         p_sigma=p_sigma,
         p_c=p_c,
         best_x=best_x,
@@ -215,6 +249,7 @@ def step(
         iteration=state.iteration + 1,
         nfev=state.nfev + lam,
         no_change=no_change,
+        gen=state.gen + 1,
         key=key,
         done=jnp.zeros_like(state.done),
         converged=jnp.zeros_like(state.converged),
@@ -223,13 +258,14 @@ def step(
 
 
 def _merge(pred, a: CMAESFleetState, b: CMAESFleetState) -> CMAESFleetState:
-    """Per-lane select a-where-pred else b — except ``key``, which is
-    fleet-global (one draw covers all lanes) and always advances with ``b``
-    (typed PRNG keys also cannot pass through jnp.where)."""
+    """Per-lane select a-where-pred else b — except ``key`` and ``gen``,
+    which are fleet-global (one draw / one counter covers all lanes) and
+    always advance with ``b`` (typed PRNG keys also cannot pass through
+    jnp.where)."""
     out = {}
     for f in CMAESFleetState._fields:
-        if f == "key":
-            out[f] = b.key
+        if f in ("key", "gen"):
+            out[f] = getattr(b, f)
             continue
         av, bv = getattr(a, f), getattr(b, f)
         p = pred.reshape((1,) * (av.ndim - 1) + (-1,))
