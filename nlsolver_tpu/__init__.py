@@ -20,7 +20,7 @@ from .api import (
 )
 from .core import Bounds, SolverResult
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Bounds",
