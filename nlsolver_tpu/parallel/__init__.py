@@ -1,3 +1,4 @@
+from .cmaes_sharded import minimize_fleet_sharded
 from .de_island import minimize_islands
 from .de_sharded import minimize_sharded
 from .mesh import DP_AXIS, POP_AXIS, instance_sharding, make_mesh, population_sharding
@@ -10,6 +11,7 @@ __all__ = [
     "fit_sharded",
     "instance_sharding",
     "make_mesh",
+    "minimize_fleet_sharded",
     "minimize_islands",
     "minimize_sharded",
     "population_sharding",

@@ -103,3 +103,26 @@ def test_dim_sharded_lbfgs(key):
     # analytic optimum: x = t - mean-correction; mean(t)=0 so x* = t
     assert float(jnp.max(jnp.abs(res.x - targets))) < 1e-4
     assert bool(res.converged)
+
+
+class TestCMAESFleetSharded:
+    def test_layout_invariance_and_quality(self, key):
+        """The sharded CMA-ES fleet gives IDENTICAL results on (dp,pop) =
+        (4,2) and (2,4) meshes (no collectives — pure data parallelism
+        over lanes) and solves the problem."""
+        import numpy as np
+
+        from nlsolver_tpu.parallel import make_mesh, minimize_fleet_sharded
+        from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
+
+        rosen = lambda x: 100.0 * (x[0] ** 2 - x[1]) ** 2 + (x[0] - 1.0) ** 2
+        B = 16
+        X0 = jnp.full((2, B), -0.5, jnp.float32)
+        cfg = CMAESFleetConfig(max_iter=150)
+        outs = []
+        for dp, pop in ((4, 2), (2, 4)):
+            mesh = make_mesh(8, dp=dp, pop=pop)
+            res = minimize_fleet_sharded(rosen, X0, cfg, mesh, key=key)
+            outs.append(np.asarray(res.f_value))
+        assert np.array_equal(outs[0], outs[1])
+        assert float(np.median(outs[0])) < 1e-4
