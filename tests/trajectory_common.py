@@ -262,10 +262,10 @@ RUNNERS.update({name: partial(_run_root, name) for name in _ROOT_FNS})
 RUNNERS.update({name: partial(_run_de, name) for name in DE_CONFIGS})
 
 
-def run_sann(problem, ks):
+def run_sann(problem, ks, rng="xorshift"):
     K = max(ks)
     from nlsolver_tpu.solvers import sann_reference
-    cfg = sann_reference.SANNReferenceConfig(max_iter=K + 1)
+    cfg = sann_reference.SANNReferenceConfig(max_iter=K + 1, rng=rng)
     tr = jax.jit(
         lambda x0: trace.trajectory("sann_reference", _problem_fn(problem),
                                     x0, cfg, num_steps=K)
@@ -273,10 +273,10 @@ def run_sann(problem, ks):
     return _from_trace(tr, ks)
 
 
-def run_pso_acc(problem, ks):
+def run_pso_acc(problem, ks, rng="xorshift"):
     K = max(ks)
     from nlsolver_tpu.solvers import pso_reference
-    cfg = pso_reference.PSOAccReferenceConfig(max_iter=K + 1)
+    cfg = pso_reference.PSOAccReferenceConfig(max_iter=K + 1, rng=rng)
     tr = jax.jit(
         lambda x0: trace.trajectory("pso_acc_reference", _problem_fn(problem),
                                     x0, cfg, num_steps=K)
@@ -284,10 +284,10 @@ def run_pso_acc(problem, ks):
     return _from_trace(tr, ks)
 
 
-def run_nmpso(problem, ks):
+def run_nmpso(problem, ks, rng="xorshift"):
     K = max(ks)
     from nlsolver_tpu.solvers import nmpso_reference
-    cfg = nmpso_reference.NMPSOReferenceConfig(max_iter=K + 1)
+    cfg = nmpso_reference.NMPSOReferenceConfig(max_iter=K + 1, rng=rng)
     tr = jax.jit(
         lambda x0: trace.trajectory("nmpso_reference", _problem_fn(problem),
                                     x0, cfg, num_steps=K)
@@ -298,6 +298,10 @@ def run_nmpso(problem, ks):
 RUNNERS["sann_xorshift"] = run_sann
 RUNNERS["pso_acc_xorshift"] = run_pso_acc
 RUNNERS["nmpso_xorshift"] = run_nmpso
+RUNNERS["sann_xoshiro"] = partial(run_sann, rng="xoshiro")
+RUNNERS["sann_recurrent"] = partial(run_sann, rng="recurrent")
+RUNNERS["pso_acc_xoshiro"] = partial(run_pso_acc, rng="xoshiro")
+RUNNERS["nmpso_xoshiro"] = partial(run_nmpso, rng="xoshiro")
 
 
 def compare_pair(solver, problem, golden_rows, max_k=None):

@@ -98,12 +98,12 @@ TRAJECTORY_SECTION = """
 
 Beyond final optima, per-iterate trajectories are compared against golden
 per-prefix runs of the reference binary (tools/traj_probe.cpp -> 
-tests/data/reference_trajectories.tsv; 45 solver/problem pairs covering
+tests/data/reference_trajectories.tsv; 49 solver/problem pairs covering
 every solver family that compiles):
 
 | class | pairs | result |
 |---|---|---|
-| bit-exact iterates (dx == 0 at every prefix) | 26 | Nelder-Mead, Brent minimizer, 6 of 7 root finders, and the stochastic families replayed draw-for-draw on the bit-parity reference RNGs: DE (rand/best x xorshift/xoshiro/recurrent/halton + a registered std::mt19937 user generator), SANN, Accelerated PSO, NM-PSO hybrid |
+| bit-exact iterates (dx == 0 at every prefix) | 30 | Nelder-Mead, Brent minimizer, 6 of 7 root finders, and the stochastic families replayed draw-for-draw on the bit-parity reference RNGs: DE (rand/best x xorshift/xoshiro/recurrent/halton + a registered std::mt19937 user generator), SANN (xorshift/xoshiro/recurrent), Accelerated PSO (xorshift/xoshiro), NM-PSO hybrid (xorshift/xoshiro) |
 | counter-exact, iterates within documented FMA-contraction drift | 19 | GD (fixed/anneal/bigstep/linesearch/PAGE), CGD, BFGS, LM, false-position (1 ulp) |
 | excluded with cause | - | vanilla PSO (out-of-bounds read, nlsolver.h:2674 -> allocator-dependent UB); CMA-ES (reference does not compile) |
 """

@@ -345,5 +345,11 @@ int main() {
   sweep_pso_acc<Booth, XS>("pso_acc_xorshift", "booth");
   sweep_nmpso<Rosenbrock, XS>("nmpso_xorshift", "rosenbrock");
   sweep_nmpso<Booth, XS>("nmpso_xorshift", "booth");
+  // family x stream breadth: SANN / accelerated PSO / NM-PSO on the
+  // remaining streams their reference harness configs exercise
+  sweep_sann<Rosenbrock, XO>("sann_xoshiro", "rosenbrock");
+  sweep_sann<Rosenbrock, RC>("sann_recurrent", "rosenbrock");
+  sweep_pso_acc<Rosenbrock, XO>("pso_acc_xoshiro", "rosenbrock");
+  sweep_nmpso<Rosenbrock, XO>("nmpso_xoshiro", "rosenbrock");
   return 0;
 }
