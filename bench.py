@@ -80,7 +80,10 @@ def main():
     }
     if "--out" in sys.argv:
         artifact["headline"] = {**headline, **head}
-        path = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out") + 1
+        path = sys.argv[i] if i < len(sys.argv) else "BENCH_ALL.json"
+        if path.startswith("--"):
+            path = "BENCH_ALL.json"
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1)
         print(f"# wrote {path}", file=sys.stderr)

@@ -37,7 +37,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .core import Bounds, SolverResult
+from .core import Bounds, SolverResult, signed
 from .solvers.nlls import NLLSConfig, curve_fit, fit, fit_batched  # noqa: F401
 
 _METHODS = {}
@@ -129,6 +129,16 @@ def _dispatch(
     if x0.ndim != 2:
         raise ValueError(f"layout={layout!r} expects a 2-D x0, got {x0.shape}")
 
+    # one key policy for every multi-instance layout: an explicit keys=
+    # wins; otherwise key= (or the default key(0)) is split per instance.
+    # Never let lanes fall through to a solver-internal default key — that
+    # silently runs every "independent" lane on an identical stream.
+    n_lanes = x0.shape[1] if layout == "fleet" else x0.shape[0]
+    if keys is None and layout != "fleet":
+        keys = jax.random.split(
+            key if key is not None else jax.random.key(0), n_lanes
+        )
+
     if layout == "batched":
         if method in ("de", "de_batched"):
             if bounds is not None:
@@ -143,17 +153,6 @@ def _dispatch(
             )
         if bounds is not None:
             kwargs = dict(kwargs, bounds=bounds)
-        if keys is None and key is not None:
-            keys = jax.random.split(key, x0.shape[0])
-        if keys is None:
-
-            def one(x0_i):
-                f = getattr(mod, verb)
-                if config is None:
-                    return f(fn, x0_i, **kwargs)
-                return f(fn, x0_i, config, **kwargs)
-
-            return jax.vmap(one)(x0)
 
         def one(x0_i, key_i):
             f = getattr(mod, verb)
@@ -163,18 +162,21 @@ def _dispatch(
 
         return jax.vmap(one)(x0, keys)
 
+    # every engine below minimizes; one shared sign wrapper handles
+    # maximize (negated objective in, f_value flipped back out)
+    fn = signed(fn, _minimize)
+    unflip = (lambda r: r) if _minimize else (
+        lambda r: r._replace(f_value=-r.f_value)
+    )
+
     if layout == "fleet":
         if method in ("cmaes", "cmaes_fleet"):
             from .solvers import cmaes_fleet
 
-            if not _minimize:
-                inner_f = fn
-                fn = lambda x: -inner_f(x)  # noqa: E731
             cfg = config if config is not None else cmaes_fleet.CMAESFleetConfig()
-            res = cmaes_fleet.minimize_fleet(fn, x0, cfg, bounds, key=key, **kwargs)
-            if not _minimize:
-                res = res._replace(f_value=-res.f_value)
-            return res
+            return unflip(
+                cmaes_fleet.minimize_fleet(fn, x0, cfg, bounds, key=key, **kwargs)
+            )
         if method not in ("bfgs", "bfgs_fleet"):
             raise ValueError(
                 f"layout='fleet' supports method='bfgs' (batch-minor lane "
@@ -183,25 +185,16 @@ def _dispatch(
                 f"layout='batched'"
             )
         fleet = _METHODS["bfgs_fleet"]
-        if not _minimize:
-            inner = fn
-            fn = lambda x: -inner(x)  # noqa: E731
         fn_cols = kwargs.pop("fn_cols", None)
         if fn_cols is None:
             # adapt a single-point objective to the [n, B] -> [B] column form
             fn_cols = lambda X: jax.vmap(fn)(X.T)  # noqa: E731
         cfg = config if config is not None else fleet.BFGSFleetConfig()
-        res = fleet.minimize_fleet(fn_cols, x0, cfg, **kwargs)
-        if not _minimize:
-            res = res._replace(f_value=-res.f_value)
-        return res
+        return unflip(fleet.minimize_fleet(fn_cols, x0, cfg, **kwargs))
 
     # sharded / islands: population-parallel engines over a device mesh
     if mesh is None:
         raise ValueError(f"layout={layout!r} requires a mesh= argument")
-    if not _minimize:
-        inner = fn
-        fn = lambda x: -inner(x)  # noqa: E731
 
     if layout == "islands":
         if method != "de":
@@ -224,9 +217,7 @@ def _dispatch(
                 f"layout='sharded' supports method='de' or 'pso', got {method!r}"
             )
         res = eng.minimize_sharded(fn, x0, cfg, mesh, keys=keys, **kwargs)
-    if not _minimize:
-        res = res._replace(f_value=-res.f_value)
-    return res
+    return unflip(res)
 
 
 def minimize(

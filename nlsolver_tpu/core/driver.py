@@ -50,16 +50,25 @@ def _wrap_progress(progress: Callable, every: int):
     """Host-side shim: filters to every-k iterations (a second net behind
     the device-side cond — under vmap, cond lowers to both-branches-execute
     select, so filtering must not rely on the device predicate alone) and
-    hands the user plain Python scalars."""
-    seen = set()
+    hands the user plain Python scalars.
+
+    Duplicate suppression is per-EXECUTION, not per-trace: the callback
+    closure is baked into the jit-compiled program, so any memory it keeps
+    outlives one call.  Iterations increase monotonically within a run;
+    when a lower iteration arrives, a new execution has started and the
+    tracker resets (a set here would swallow every report from the second
+    invocation of the same compiled solve onward, and grow unboundedly)."""
+    last = [-1]
 
     def host_fn(it, best, active):
         it = int(np.max(it))
+        if it < last[0]:
+            last[0] = -1            # new execution of the same compiled fn
+        if it == last[0]:
+            return                  # duplicate report of the same iteration
         if it % every and bool(np.min(active)):
             return
-        if it in seen:
-            return
-        seen.add(it)
+        last[0] = it
         progress(iteration=it, best=float(np.min(best)),
                  active=int(np.sum(active)))
 

@@ -46,6 +46,7 @@ _ONE_MINUS = float(np.nextafter(1.0, 0.0))
 class MTState(NamedTuple):
     mt: jax.Array     # [624] uint32
     idx: jax.Array    # () int32, 0..624 (624 => twist before next draw)
+    dt: jax.Array     # () zero of the requested OUTPUT dtype (dtype marker)
 
 
 def seed_table(seed: int = 42) -> np.ndarray:
@@ -60,8 +61,12 @@ def seed_table(seed: int = 42) -> np.ndarray:
     return mt
 
 
-def init(seed: int = 42) -> MTState:
-    return MTState(mt=jnp.asarray(seed_table(seed)), idx=jnp.int32(N))
+def init(seed: int = 42, dtype=jnp.float64) -> MTState:
+    return MTState(
+        mt=jnp.asarray(seed_table(seed)),
+        idx=jnp.int32(N),
+        dt=jnp.zeros((), dtype),
+    )
 
 
 def _twist(mt: jax.Array) -> jax.Array:
@@ -88,27 +93,33 @@ def next_u32(state: MTState) -> Tuple[jax.Array, MTState]:
     y = y ^ ((y << np.uint32(7)) & np.uint32(0x9D2C5680))
     y = y ^ ((y << np.uint32(15)) & np.uint32(0xEFC60000))
     y = y ^ (y >> np.uint32(18))
-    return y, MTState(mt=mt, idx=idx + 1)
+    return y, MTState(mt=mt, idx=idx + 1, dt=state.dt)
 
 
-def next_canonical(state: MTState, dtype=jnp.float64) -> Tuple[jax.Array, MTState]:
-    """One uniform_real_distribution<double>(0,1) draw (two raw words)."""
+def next_canonical(state: MTState) -> Tuple[jax.Array, MTState]:
+    """One uniform_real_distribution<double>(0,1) draw (two raw words),
+    emitted in the state's requested dtype (the canonical arithmetic runs
+    in f64 — the distribution itself is double; bit-parity therefore needs
+    jax_enable_x64)."""
     x0, state = next_u32(state)
     x1, state = next_u32(state)
     u = (x0.astype(jnp.float64)
          + x1.astype(jnp.float64) * jnp.float64(4294967296.0)) / jnp.float64(
              18446744073709551616.0)
     u = jnp.where(u >= 1.0, jnp.float64(_ONE_MINUS), u)
-    return u.astype(dtype), state
+    return u.astype(state.dt.dtype), state
 
 
 def register_mt(kind: str = "mt", seed: int = 42) -> None:
     """Expose mt19937 through the user-generator hook so the emulation
-    solvers accept ``rng=kind`` (the reference harness's interop pattern)."""
+    solvers accept ``rng=kind`` (the reference harness's interop pattern).
+    The solver's requested dtype is honored (carried in the state's dtype
+    marker); the canonical arithmetic itself is f64, so bit-parity with
+    libstdc++ requires jax_enable_x64."""
     from . import reference_rngs
 
     reference_rngs.register(
         kind,
-        lambda dtype: init(seed),
-        lambda s: next_canonical(s),
+        lambda dtype: init(seed, dtype=dtype),
+        next_canonical,
     )

@@ -183,8 +183,10 @@ def step(
         y = y + Bv[:, k, :][:, None, :] * Dz[k][None, :, :]
     xs = state.mean[:, None, :] + state.sigma[None, None, :] * y
     if bounds is not None:
-        lo = jnp.asarray(bounds.lower, dtype).reshape(n, 1, 1)
-        hi = jnp.asarray(bounds.upper, dtype).reshape(n, 1, 1)
+        # bounds are "broadcastable against x" (core/objective.py) — accept
+        # scalars and [n] alike
+        lo = jnp.broadcast_to(jnp.asarray(bounds.lower, dtype), (n,)).reshape(n, 1, 1)
+        hi = jnp.broadcast_to(jnp.asarray(bounds.upper, dtype), (n,)).reshape(n, 1, 1)
         xs = jnp.clip(xs, lo, hi)
         y = (xs - state.mean[:, None, :]) / state.sigma[None, None, :]
     values = colwise(fn)(xs.reshape(n, lam * B)).reshape(lam, B)
@@ -309,8 +311,9 @@ def minimize_fleet(
         key = jax.random.key(0)
     X0 = jnp.asarray(X0)
     if bounds is not None:
-        lo = jnp.asarray(bounds.lower, X0.dtype).reshape(-1, 1)
-        hi = jnp.asarray(bounds.upper, X0.dtype).reshape(-1, 1)
+        n = X0.shape[0]
+        lo = jnp.broadcast_to(jnp.asarray(bounds.lower, X0.dtype), (n,)).reshape(-1, 1)
+        hi = jnp.broadcast_to(jnp.asarray(bounds.upper, X0.dtype), (n,)).reshape(-1, 1)
         X0 = jnp.clip(X0, lo, hi)
     state = init(fn, X0, config, key)
     state = drive_fleet(lambda s: step(fn, s, config, bounds), state)

@@ -155,3 +155,51 @@ def test_cmaes_fleet_via_minimize(key):
     )(X0, key)
     assert res.x.shape == (2, B)
     assert float(jnp.median(res.f_value)) < 1e-4
+
+
+def test_batched_de_key_controls_stream(key):
+    """Regression (r3 review): key= must thread into the lane-axis DE —
+    different keys, different results."""
+    import nlsolver_tpu
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    sphere = lambda x: jnp.sum(x * x)
+    x0 = jnp.full((8, 3), -0.5)
+    cfg = DEConfig(pop_size=16, max_iter=10, best_value_no_change=1 << 30,
+                   eps=0.0, partner_sampling="rotation")
+    r1 = nlsolver_tpu.minimize(sphere, x0, method="de", layout="batched",
+                               config=cfg, key=jax.random.key(1))
+    r2 = nlsolver_tpu.minimize(sphere, x0, method="de", layout="batched",
+                               config=cfg, key=jax.random.key(2))
+    assert not jnp.array_equal(r1.f_value, r2.f_value)
+
+
+def test_batched_vmap_lanes_are_independent(key):
+    """Regression (r3 review): without any key, vmapped stochastic lanes
+    must still get DISTINCT derived streams, not the solver default."""
+    import nlsolver_tpu
+    from nlsolver_tpu.solvers.cmaes import CMAESConfig
+
+    sphere = lambda x: jnp.sum(x * x)
+    x0 = jnp.tile(jnp.asarray([[-0.5, 0.5]]), (4, 1))
+    res = nlsolver_tpu.minimize(sphere, x0, method="cmaes", layout="batched",
+                                config=CMAESConfig(max_iter=5))
+    # identical starts but distinct streams -> distinct iterates
+    assert len({tuple(map(float, row)) for row in res.x}) > 1
+
+
+def test_fleet_cmaes_scalar_bounds(key):
+    """Regression (r3 review): scalar (broadcastable) bounds must work on
+    the fleet path like everywhere else."""
+    import nlsolver_tpu
+    from nlsolver_tpu.core import Bounds
+    from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
+
+    sphere = lambda x: jnp.sum(x * x)
+    X0 = jnp.full((3, 8), 2.0)
+    res = nlsolver_tpu.minimize(
+        sphere, X0, method="cmaes", layout="fleet",
+        config=CMAESFleetConfig(max_iter=60),
+        bounds=Bounds(jnp.asarray(-5.0), jnp.asarray(5.0)), key=key,
+    )
+    assert float(jnp.median(res.f_value)) < 1e-2

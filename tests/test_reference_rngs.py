@@ -191,3 +191,16 @@ class TestMT19937:
         x0 = jnp.asarray([-0.5, -0.5], jnp.float64)
         res = jax.jit(lambda x: de_reference.minimize(booth, x, cfg))(x0)
         assert float(res.f_value) < 1.0
+
+    def test_requested_dtype_is_honored(self):
+        """Regression (r3 review): rng='mt' must emit the solver's
+        requested dtype like every other generator."""
+        import jax.numpy as jnp
+        from nlsolver_tpu.random import mt19937 as mt
+        from nlsolver_tpu.random import reference_rngs
+
+        mt.register_mt("mt", seed=42)
+        for dtype in (jnp.float32, jnp.float64):
+            state, nxt = reference_rngs.make("mt", dtype=dtype)
+            u, _ = nxt(state)
+            assert u.dtype == dtype, (dtype, u.dtype)

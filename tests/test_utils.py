@@ -126,3 +126,14 @@ class TestProgressHook:
                 PROBLEMS["sphere"].fn, x0, cfg, keys=keys)
         )(x0, keys)
         assert jnp.array_equal(res_mon.f_value, res_silent.f_value)
+
+    def test_progress_fires_on_repeat_invocations(self):
+        """Regression (r3 review): the host-side dedup must be
+        per-execution — a second call of the same compiled solve reports
+        again (a per-trace set swallowed everything after run one)."""
+        counts = []
+        for _ in range(2):
+            calls, _ = self._run(progress_every=10)
+            counts.append(len(calls))
+        assert counts[0] > 0 and counts[1] > 0
+        assert counts[1] >= counts[0] - 1  # same cadence both runs
