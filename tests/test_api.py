@@ -203,3 +203,33 @@ def test_fleet_cmaes_scalar_bounds(key):
         bounds=Bounds(jnp.asarray(-5.0), jnp.asarray(5.0)), key=key,
     )
     assert float(jnp.median(res.f_value)) < 1e-2
+
+
+def test_maximize_fleet_and_islands(key):
+    """The shared sign wrapper (signed + unflip) must hold on every
+    engine layout: maximize of -sphere gives f_value near 0 from above."""
+    import numpy as np
+
+    from nlsolver_tpu.parallel import make_mesh
+    from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    neg_sphere = lambda x: -jnp.sum(x * x)
+
+    # fleet (cmaes)
+    X0 = jnp.full((2, 8), 1.5)
+    res = nlsolver_tpu.maximize(
+        neg_sphere, X0, method="cmaes", layout="fleet",
+        config=CMAESFleetConfig(max_iter=120), key=key,
+    )
+    assert float(jnp.median(res.f_value)) > -1e-4
+    assert float(jnp.max(res.f_value)) <= 1e-12
+
+    # islands (de)
+    mesh = make_mesh(4, dp=2, pop=2)
+    x0 = jnp.full((4, 3), 1.5)
+    res = nlsolver_tpu.maximize(
+        neg_sphere, x0, method="de", layout="islands", mesh=mesh,
+        config=DEConfig(pop_size=16, max_iter=120), key=key,
+    )
+    assert float(np.median(np.asarray(res.f_value))) > -1e-3
