@@ -68,3 +68,10 @@ def test_attach_peaks_contract():
     )
     assert out["pct_hbm_peak"] == 10.0
     assert out["pct_cos_peak"] == 50.0
+
+
+def test_qr_shapes_smoke():
+    out = benches.bench_qr_shapes(B=32, runs=1, reps=2)
+    assert len(out["rows"]) == 3
+    for row in out["rows"]:
+        assert row["recon_rel_err"] < 1e-3
