@@ -1,0 +1,126 @@
+"""Pallas batched QR: the Sameh-Kuck wavefront, VMEM-resident.
+
+Same architecture as ``ops/eigh_jacobi.py`` (the kernel that beats XLA
+44x): the batch rides the 128-lane axis, R (and optionally Q^T) stay in
+VMEM across ALL m+2n-3 wavefront stages — one HBM read and one write per
+element regardless of stage count, where the pure-jnp wavefront
+(``linalg/qr_parallel.py``) re-materializes between XLA fusions.  All data
+movement is static-slice concatenation (this Mosaic toolchain's rules:
+no 1-D blocks, no gathers, one tiled axis per pallas_call — CLAUDE.md).
+
+Schedule and semantics identical to ``linalg.qr_parallel``: rotation of
+rows (i-1, i) zeroes entry (i, j) at stage m-1-i+2j; stages are
+row-disjoint so each is a handful of whole-tile vectorized ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..linalg.givens import givens_rotation
+from ..linalg.qr_parallel import sameh_kuck_schedule
+
+
+def _stage(R, carried, ps, qs, js, perm, dtype):
+    """One wavefront stage on the [m, n, T] tile (+ same row ops on every
+    carried [m, *, T] tile)."""
+    m = R.shape[0]
+    T = R.shape[-1]
+    a = jnp.concatenate(
+        [R[p, j : j + 1] for p, j in zip(ps, js)], axis=0
+    )                                                   # [k, T]
+    b = jnp.concatenate(
+        [R[q, j : j + 1] for q, j in zip(qs, js)], axis=0
+    )
+    c, s = givens_rotation(a, b)
+
+    role = {}                     # row -> (pair index, sign of s)
+    for i, (p, q) in enumerate(zip(ps, qs)):
+        role[int(p)] = (i, 1.0)   # row p <- c R[p] + s R[q]
+        role[int(q)] = (i, -1.0)  # row q <- -s R[p] + c R[q]
+    ones = jnp.ones((1, T), dtype)
+    zeros = jnp.zeros((1, T), dtype)
+    crows, srows = [], []
+    for r in range(m):
+        if r in role:
+            i, sign = role[r]
+            crows.append(c[i : i + 1])
+            srows.append(sign * s[i : i + 1])
+        else:
+            crows.append(ones)
+            srows.append(zeros)
+    Cv = jnp.concatenate(crows, axis=0)                  # [m, T]
+    Sv = jnp.concatenate(srows, axis=0)
+
+    def rot(X):
+        Xp = jnp.stack([X[int(perm[r])] for r in range(m)], axis=0)
+        return Cv[:, None] * X + Sv[:, None] * Xp
+
+    return rot(R), [rot(X) for X in carried]
+
+
+def _kernel(A_ref, *out_refs, m, n, schedule, compute_q):
+    dtype = A_ref.dtype
+    R = A_ref[...]                                       # [m, n, T]
+    T = R.shape[-1]
+    carried = []
+    if compute_q:
+        carried.append(
+            jnp.broadcast_to(jnp.eye(m, dtype=dtype)[:, :, None], (m, m, T))
+        )
+    for ps, qs, js, perm in schedule:
+        R, carried = _stage(R, carried, ps, qs, js, perm, dtype)
+    out_refs[0][...] = R
+    if compute_q:
+        out_refs[1][...] = carried[0]                    # Q^T
+
+
+@functools.partial(jax.jit, static_argnames=("compute_q", "tile", "interpret"))
+def qr_wavefront_pallas(
+    A_bm: jax.Array,                 # [m, n, B] batch-minor
+    compute_q: bool = False,
+    tile: int = 128,
+    interpret: bool = False,
+):
+    """Batched QR of ``A_bm``; returns ``(R [m, n, B], Q [m, m, B] | None)``
+    matching ``linalg.qr_parallel`` (same schedule, same rotations)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = A_bm.shape
+    if m < n:
+        raise ValueError(f"need m >= n, got {A_bm.shape}")
+    tile = min(tile, B)
+    if B % tile:
+        raise ValueError(f"batch {B} must divide tile {tile}")
+    schedule = sameh_kuck_schedule(m, n)
+    kern = functools.partial(
+        _kernel, m=m, n=n, schedule=schedule, compute_q=compute_q
+    )
+    out_shape = [jax.ShapeDtypeStruct((m, n, B), A_bm.dtype)]
+    out_specs = [
+        pl.BlockSpec((m, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    ]
+    if compute_q:
+        out_shape.append(jax.ShapeDtypeStruct((m, m, B), A_bm.dtype))
+        out_specs.append(
+            pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape),
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((m, n, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(A_bm)
+    R = outs[0]
+    if compute_q:
+        return R, jnp.swapaxes(outs[1], 0, 1)
+    return R, None
