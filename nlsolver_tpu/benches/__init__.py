@@ -591,6 +591,24 @@ def bench_qr_batched(B=4096, m=16, n=16, runs=5, reps=20):
         chain(lambda A: least_squares_parallel(A, y), A_bm), runs
     )
     out["parallel_lstsq_per_sec"] = B * reps / med_ls
+
+    if jax.default_backend() == "tpu":
+        from ..ops.qr_wavefront import (
+            least_squares_wavefront_pallas,
+            qr_wavefront_pallas,
+        )
+
+        med_pk, _ = _timed(
+            chain(lambda A: qr_wavefront_pallas(A)[0], A_bm), runs
+        )
+        out["pallas_qr_per_sec"] = B * reps / med_pk
+        out["pallas_speedup_vs_xla"] = med_x / med_pk
+        out["pallas_speedup_vs_jnp_wavefront"] = med_p / med_pk
+        med_pls, _ = _timed(
+            chain(lambda A: least_squares_wavefront_pallas(A, y), A_bm), runs
+        )
+        out["pallas_lstsq_per_sec"] = B * reps / med_pls
+        out["pallas_lstsq_speedup_vs_jnp"] = med_ls / med_pls
     out["bound"] = "VPU f32 row rotations (m+2n-3 vectorized wavefront stages)"
     return out
 

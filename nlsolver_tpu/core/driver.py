@@ -54,10 +54,15 @@ def _wrap_progress(progress: Callable, every: int):
 
     Duplicate suppression is per-EXECUTION, not per-trace: the callback
     closure is baked into the jit-compiled program, so any memory it keeps
-    outlives one call.  Iterations increase monotonically within a run;
-    when a lower iteration arrives, a new execution has started and the
-    tracker resets (a set here would swallow every report from the second
-    invocation of the same compiled solve onward, and grow unboundedly)."""
+    outlives one call.  With ``ordered=True`` delivery (the single-device
+    default in :func:`attach_progress`) iterations arrive monotonically
+    within a run, so a lower iteration reliably means a NEW execution and
+    the tracker resets.  Under unordered delivery (required by vmap) a
+    stale out-of-order report one window back is indistinguishable from a
+    restart; it is treated as a restart, whose worst case is a duplicate
+    report — never a lost one.  Concurrent executions of the same compiled
+    function from multiple host threads interleave reports; give each its
+    own ``progress`` callback if that matters."""
     last = [-1]
 
     def host_fn(it, best, active):
@@ -76,12 +81,20 @@ def _wrap_progress(progress: Callable, every: int):
 
 
 def attach_progress(body: Callable[[S], S], progress: Callable,
-                    progress_every: int = 50) -> Callable[[S], S]:
+                    progress_every: int = 50,
+                    ordered: Optional[bool] = None) -> Callable[[S], S]:
     """Wrap a loop body so it reports (iteration, best, active) to the host
     callback ``progress`` every ``progress_every`` iterations via an
-    unordered ``io_callback`` — the per-iteration observability hook for
-    long fleet solves (the reference prints only on destruction,
-    nlsolver.h:131-169; this streams while the chip runs).
+    ``io_callback`` — the per-iteration observability hook for long fleet
+    solves (the reference prints only on destruction, nlsolver.h:131-169;
+    this streams while the chip runs).
+
+    ``ordered``: ``True`` forces in-sequence delivery, which makes the
+    host-side duplicate suppression exact (see :func:`_wrap_progress`) but
+    is rejected by JAX under ``vmap``; ``False`` works everywhere at the
+    cost of an occasional duplicate report on out-of-order delivery.  The
+    default (``None``) means unordered — the only mode valid on every
+    execution path.
 
     Measured overhead (2048x64 DE fleet, report every 50 generations,
     CPU — the axon tunnel's PJRT lacks host callbacks, so the hook is
@@ -92,13 +105,14 @@ def attach_progress(body: Callable[[S], S], progress: Callable,
 
     every = max(int(progress_every), 1)
     host_fn = _wrap_progress(progress, every)
+    use_ordered = bool(ordered)
 
     def wrapped(state: S) -> S:
         new_state = body(state)
         it, best, active = _progress_payload(new_state)
 
         def emit(args):
-            io_callback(host_fn, None, *args, ordered=False)
+            io_callback(host_fn, None, *args, ordered=use_ordered)
 
         lax.cond((it % every == 0) | (active == 0), emit,
                  lambda args: None, (it, best, active))

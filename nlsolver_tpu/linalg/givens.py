@@ -60,17 +60,34 @@ def qr_givens(A: jax.Array) -> QR:
     return QR(Q=Q.T, R=R)
 
 
-def qr(A: jax.Array, method: str = "householder") -> QR:
+def qr(A: jax.Array, method: str = "householder", **kwargs) -> QR:
     """QR with selectable backend: XLA Householder (default), sequential
-    Givens (the reference algorithm), or the batched parallel-order
+    Givens (the reference algorithm), the batched parallel-order
     Sameh-Kuck wavefront (``method="parallel"``, for [m, n, *batch]
-    fleets — linalg/qr_parallel.py)."""
+    fleets — linalg/qr_parallel.py), or its VMEM-resident Pallas twin
+    (``method="pallas"``, [m, n, B] batch-minor only —
+    ops/qr_wavefront.py; kwargs: ``tile``, ``interpret``)."""
     if method == "givens":
         return qr_givens(A)
     if method == "parallel":
         from .qr_parallel import qr_parallel
 
         return qr_parallel(A)
+    if method == "pallas":
+        from ..ops.qr_wavefront import qr_wavefront_pallas
+
+        if A.ndim != 3:
+            raise ValueError(
+                f"method='pallas' needs a batch-minor [m, n, B] fleet, "
+                f"got {A.shape}"
+            )
+        R, Qm = qr_wavefront_pallas(A, compute_q=True, **kwargs)
+        return QR(Q=Qm, R=R)
+    if method != "householder":
+        raise ValueError(
+            f"unknown qr method {method!r}; one of householder, givens, "
+            f"parallel, pallas"
+        )
     q, r = jnp.linalg.qr(A)
     return QR(Q=q, R=r)
 

@@ -61,7 +61,18 @@ def _stage(R, carried, ps, qs, js, perm, dtype):
     return rot(R), [rot(X) for X in carried]
 
 
-def _kernel(A_ref, *out_refs, m, n, schedule, compute_q):
+def _backsolve(R, b, n):
+    """Unrolled back-substitution R[:n,:n] x = b[:n] on [.., 1, T] columns."""
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = b[i]
+        for j in range(i + 1, n):
+            acc = acc - R[i, j] * xs[j]
+        xs[i] = acc / R[i, i]
+    return jnp.stack(xs, axis=0)                         # [n, 1, T]
+
+
+def _kernel(A_ref, *refs, m, n, schedule, compute_q, solve):
     dtype = A_ref.dtype
     R = A_ref[...]                                       # [m, n, T]
     T = R.shape[-1]
@@ -70,9 +81,19 @@ def _kernel(A_ref, *out_refs, m, n, schedule, compute_q):
         carried.append(
             jnp.broadcast_to(jnp.eye(m, dtype=dtype)[:, :, None], (m, m, T))
         )
+    if solve:
+        y_ref, refs = refs[0], refs[1:]
+        carried.append(y_ref[...])                       # [m, 1, T] rhs
+    out_refs = refs
     for ps, qs, js, perm in schedule:
         R, carried = _stage(R, carried, ps, qs, js, perm, dtype)
-    out_refs[0][...] = R
+    if solve:
+        # x solves min ||A x - y||: R[:n,:n] x = (Q^T y)[:n], all in VMEM
+        qty = carried[-1]
+        out_refs[-1][...] = _backsolve(R, qty, n)
+        out_refs = out_refs[:-1]
+    if out_refs:
+        out_refs[0][...] = R
     if compute_q:
         out_refs[1][...] = carried[0]                    # Q^T
 
@@ -97,7 +118,7 @@ def qr_wavefront_pallas(
         raise ValueError(f"batch {B} must divide tile {tile}")
     schedule = sameh_kuck_schedule(m, n)
     kern = functools.partial(
-        _kernel, m=m, n=n, schedule=schedule, compute_q=compute_q
+        _kernel, m=m, n=n, schedule=schedule, compute_q=compute_q, solve=False
     )
     out_shape = [jax.ShapeDtypeStruct((m, n, B), A_bm.dtype)]
     out_specs = [
@@ -124,3 +145,47 @@ def qr_wavefront_pallas(
     if compute_q:
         return R, jnp.swapaxes(outs[1], 0, 1)
     return R, None
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def least_squares_wavefront_pallas(
+    A_bm: jax.Array,                 # [m, n, B] batch-minor
+    y_bm: jax.Array,                 # [m, B]
+    tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """``min_x ||A x - y||`` per lane, entirely in VMEM: the rotations
+    thread y through (implicit Q^T y) and the back-substitution runs inside
+    the kernel — HBM traffic is one read of A/y and one write of x [n, B],
+    no R materialization (vs ``linalg.least_squares_parallel`` which
+    re-materializes R between XLA fusions; tinyqr.h:437-470's pipeline)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = A_bm.shape
+    if m < n:
+        raise ValueError(f"need m >= n, got {A_bm.shape}")
+    if y_bm.shape != (m, B):
+        raise ValueError(f"rhs must be [m, B]={m, B}, got {y_bm.shape}")
+    tile = min(tile, B)
+    if B % tile:
+        raise ValueError(f"batch {B} must divide tile {tile}")
+    schedule = sameh_kuck_schedule(m, n)
+    kern = functools.partial(
+        _kernel, m=m, n=n, schedule=schedule, compute_q=False, solve=True
+    )
+    x = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 1, B), A_bm.dtype),
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((m, n, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, 1, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A_bm, y_bm[:, None, :])
+    return x[:, 0, :]

@@ -58,7 +58,11 @@ class CMAESFleetConfig:
     # kernel), so throughput scales almost linearly with this interval;
     # the tutorial's guidance is ~1/(c1+cmu)/n/10 generations of staleness
     # being statistically invisible.  1 = recompute every generation
-    # (bit-identical to the eager path).
+    # (bit-identical to the eager path).  Two staleness consequences at
+    # interval k: (a) the cond>cond_max termination test lags by up to k-1
+    # generations (it reads the last computed spectrum); (b) a restart
+    # variance kick would otherwise keep sampling from the pre-kick basis —
+    # so any kick forces a refresh on the NEXT generation (state.kicked).
     eigen_interval: int = 1
 
 
@@ -77,6 +81,7 @@ class CMAESFleetState(NamedTuple):
     nfev: jax.Array        # [B] int32
     no_change: jax.Array   # [B] int32
     gen: jax.Array         # () int32 fleet-global generation counter
+    kicked: jax.Array      # () bool — a lane kicked last gen; force refresh
     key: jax.Array
     done: jax.Array        # [B] bool
     converged: jax.Array   # [B] bool
@@ -121,6 +126,7 @@ def init(fn, X0: jax.Array, config: CMAESFleetConfig, key: jax.Array) -> CMAESFl
         nfev=jnp.ones((B,), jnp.int32),
         no_change=jnp.zeros((B,), jnp.int32),
         gen=jnp.int32(0),
+        kicked=jnp.asarray(False),
         key=key,
         done=jnp.zeros((B,), bool),
         converged=jnp.zeros((B,), bool),
@@ -150,7 +156,7 @@ def step(
             return jnp.sqrt(jnp.maximum(ev, 1e-20)), Q
 
         D, Bv = lax.cond(
-            state.gen % config.eigen_interval == 0,
+            (state.gen % config.eigen_interval == 0) | state.kicked,
             refresh,
             lambda C: (state.D, state.Bv),
             state.C,
@@ -210,6 +216,9 @@ def step(
             no_change >= config.kick_patience
         )
         sigma = jnp.where(collapsed, sigma * jnp.exp(0.2 + cs / damps), sigma)
+        any_kick = jnp.any(collapsed & ~done_now)
+    else:
+        any_kick = jnp.asarray(False)
 
     it1 = (state.iteration + 1).astype(dtype)
     hsig = (
@@ -252,6 +261,7 @@ def step(
         nfev=state.nfev + lam,
         no_change=no_change,
         gen=state.gen + 1,
+        kicked=any_kick,
         key=key,
         done=jnp.zeros_like(state.done),
         converged=jnp.zeros_like(state.converged),
@@ -266,7 +276,7 @@ def _merge(pred, a: CMAESFleetState, b: CMAESFleetState) -> CMAESFleetState:
     jnp.where)."""
     out = {}
     for f in CMAESFleetState._fields:
-        if f in ("key", "gen"):
+        if f in ("key", "gen", "kicked"):
             out[f] = getattr(b, f)
             continue
         av, bv = getattr(a, f), getattr(b, f)

@@ -233,3 +233,101 @@ def test_maximize_fleet_and_islands(key):
         config=DEConfig(pop_size=16, max_iter=120), key=key,
     )
     assert float(np.median(np.asarray(res.f_value))) > -1e-3
+
+
+def test_multistart_restarts(key):
+    """minimize(..., restarts=k): solves problems the single trajectory
+    cannot (Shekel — every reference family fails it,
+    reference_test_matrix.tsv), sums counters, rejects bad arguments."""
+    from nlsolver_tpu.problems import PROBLEMS
+
+    p = PROBLEMS["shekel"]
+    x0 = jnp.full((p.dim,), -0.5)
+    single = nlsolver_tpu.minimize(p.fn, x0, method="nelder_mead", key=key)
+    multi = nlsolver_tpu.minimize(
+        p.fn, x0, method="nelder_mead", key=key, restarts=8
+    )
+    assert float(p.distance_to_nearest_minimum(multi.x)) <= 0.05
+    assert float(multi.f_value) <= float(single.f_value)
+    # counters are the TOTAL budget across starts
+    assert int(multi.function_calls) > int(single.function_calls)
+
+    with pytest.raises(ValueError, match="restarts"):
+        nlsolver_tpu.minimize(
+            p.fn, jnp.zeros((4, 2)), method="de", layout="batched", restarts=4
+        )
+
+
+def test_multistart_respects_bounds(key):
+    """With bounds, the extra starts sample inside the box and a
+    box-enforcing solver (DE) returns an in-box result.  (Nelder-Mead's
+    initial simplex may legally exceed the box — reference semantics,
+    nlsolver.h:1910-1947 — so DE is the solver that proves the sampling.)"""
+    from nlsolver_tpu.core import Bounds
+
+    shifted = lambda x: jnp.sum((x - 3.0) ** 2)
+    b = Bounds(jnp.asarray(-1.0), jnp.asarray(1.0))
+    res = nlsolver_tpu.minimize(
+        shifted, jnp.zeros((2,)), method="lbfgsb", bounds=b,
+        key=key, restarts=6,
+    )
+    assert bool(jnp.all(res.x <= 1.0 + 1e-6)) and bool(jnp.all(res.x >= -1.0 - 1e-6))
+    # best in-box value is at the corner (1, 1)
+    assert abs(float(res.f_value) - 8.0) < 1e-2
+
+
+def test_maximize_multistart(key):
+    neg = lambda x: -jnp.sum((x - 2.0) ** 2)
+    res = nlsolver_tpu.maximize(
+        neg, jnp.zeros((2,)), method="nelder_mead", key=key, restarts=6
+    )
+    assert float(res.f_value) > -1e-6
+
+
+def test_sharded_cmaes_via_minimize(key):
+    """layout='sharded' + method='cmaes' reaches the lane-sharded fleet."""
+    from nlsolver_tpu.parallel import make_mesh
+    from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
+
+    mesh = make_mesh(8, dp=2, pop=4)
+    sphere = lambda x: jnp.sum(x * x)
+    res = nlsolver_tpu.minimize(
+        sphere, jnp.full((3, 8), 2.0), method="cmaes", layout="sharded",
+        mesh=mesh, config=CMAESFleetConfig(max_iter=60), key=key,
+    )
+    assert res.x.shape == (3, 8)
+    assert float(jnp.median(res.f_value)) < 1e-2
+
+
+def test_sharded_lbfgs_via_minimize():
+    """layout='sharded' + method='lbfgs' reaches the dimension-sharded
+    engine (shard-local objective contract)."""
+    from nlsolver_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=1, pop=8)
+    fn_local = lambda xl: jnp.sum(xl * xl)
+    grad_local = lambda xl: 2.0 * xl
+    res = nlsolver_tpu.minimize(
+        fn_local, jnp.full((16,), 3.0), method="lbfgs", layout="sharded",
+        mesh=mesh, grad_local=grad_local, max_iter=50,
+    )
+    assert res.x.shape == (16,)
+    assert float(res.f_value) < 1e-10
+    with pytest.raises(ValueError, match="grad_local"):
+        nlsolver_tpu.minimize(
+            fn_local, jnp.full((16,), 3.0), method="lbfgs", layout="sharded",
+            mesh=mesh,
+        )
+
+
+def test_islands_fused_via_minimize(key):
+    from nlsolver_tpu.parallel import make_mesh
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    mesh = make_mesh(8, dp=2, pop=4)
+    res = nlsolver_tpu.minimize(
+        rosen, jnp.full((4, 2), -0.5), method="de", layout="islands",
+        mesh=mesh, config=DEConfig(pop_size=32, max_iter=200),
+        keys=jax.random.split(key, 4), fused=True,
+    )
+    assert float(jnp.max(res.f_value)) < 1e-2

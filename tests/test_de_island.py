@@ -95,6 +95,81 @@ def test_no_per_generation_gather(mesh, key):
     assert body_region.count("all-gather") == 0, "gather leaked into the loop"
 
 
+def test_fused_converges(mesh, key):
+    """The collective-diet path still solves the problem."""
+    p = PROBLEMS["rosenbrock"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=48, max_iter=400)
+    res = minimize_islands(
+        p.fn, x0, cfg, mesh, keys, migration_interval=10, fused=True
+    )
+    dists = jax.vmap(p.distance_to_nearest_minimum)(res.x)
+    assert float(jnp.max(dists)) <= 0.05, res.x
+    # termination quantizes to interval boundaries by design
+    assert int(jnp.max(res.iterations)) % 10 == 0 or bool(
+        jnp.any(res.iterations >= cfg.max_iter)
+    )
+
+
+def test_fused_collective_count_invariant_of_interval(mesh, key):
+    """The while body must contain a CONSTANT number of collectives
+    (3: packed stats all-gather, packed migrant collective-permute, cond
+    all-reduce) regardless of how many local generations run between
+    boundaries — the property that makes stale generations free of
+    rendezvous cost."""
+    p = PROBLEMS["sphere"]
+    B = 2
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=32, max_iter=40)
+
+    def body_hlo(interval):
+        lowered = jax.jit(
+            lambda x, k: minimize_islands(
+                p.fn, x, cfg, mesh, k,
+                migration_interval=interval, fused=True,
+            ).x
+        ).lower(x0, keys)
+        return lowered.compile().as_text().split("ENTRY")[0]
+
+    counts = []
+    for interval in (4, 8):
+        body = body_hlo(interval)
+        counts.append(
+            tuple(
+                body.count(op)
+                for op in ("all-gather", "collective-permute", "all-reduce")
+            )
+        )
+    assert counts[0] == counts[1], counts
+    # exactly one migrant permute inside the loop
+    assert counts[0][1] == 1, counts
+
+
+def test_fused_dp_layout_invariance(key):
+    """Same island count, different dp layout => identical results (the
+    fold_in key discipline carries over to the fused path)."""
+    import numpy as np
+
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=32, max_iter=60)
+    res_a = minimize_islands(
+        p.fn, x0, cfg, make_mesh(8, dp=4, pop=2), keys, fused=True
+    )
+    res_b = minimize_islands(
+        p.fn, x0, cfg, make_mesh(4, dp=2, pop=2), keys, fused=True
+    )
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_b.x))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.iterations), np.asarray(res_b.iterations)
+    )
+
+
 def test_sync_interval_results_identical():
     """sync_interval batches the dp-axis termination check; results and
     per-lane iteration counts must be bit-identical to per-generation

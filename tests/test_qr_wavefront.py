@@ -1,0 +1,104 @@
+"""Pallas wavefront QR (ops/qr_wavefront.py) — interpret-mode parity vs the
+jnp Sameh-Kuck wavefront (linalg/qr_parallel.py) and LAPACK, plus the
+in-kernel least-squares pipeline (tinyqr.h:253-310 / :437-470's roles at
+fleet scale)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsolver_tpu.linalg.qr_parallel import least_squares_parallel, qr_parallel
+from nlsolver_tpu.ops.qr_wavefront import (
+    least_squares_wavefront_pallas,
+    qr_wavefront_pallas,
+)
+
+
+def batch(rng, m, n, B, dtype=np.float32):
+    return jnp.asarray(rng.standard_normal((m, n, B)).astype(dtype))
+
+
+@pytest.mark.parametrize("m,n", [(16, 16), (16, 8), (32, 8)])
+def test_matches_jnp_wavefront(m, n):
+    """Same schedule + same rotations as linalg.qr_parallel => the R and Q
+    factors agree to f32 roundoff (identical arithmetic, different
+    execution order inside fusions)."""
+    rng = np.random.default_rng(m * 100 + n)
+    B = 256
+    A = batch(rng, m, n, B)
+    R, Q = qr_wavefront_pallas(A, compute_q=True, tile=128, interpret=True)
+    ref = qr_parallel(A)
+    assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
+    assert float(jnp.max(jnp.abs(Q - ref.Q))) < 1e-4
+
+
+def test_qr_is_a_factorization():
+    """Q orthonormal, R upper-triangular, Q R == A to f32 precision."""
+    rng = np.random.default_rng(0)
+    m, n, B = 16, 8, 128
+    A = batch(rng, m, n, B)
+    R, Q = qr_wavefront_pallas(A, compute_q=True, tile=128, interpret=True)
+    eye = jnp.eye(m, dtype=jnp.float32)[:, :, None]
+    qtq = jnp.einsum(
+        "ik...,il...->kl...", Q, Q, precision=jax.lax.Precision.HIGHEST
+    )
+    assert float(jnp.max(jnp.abs(qtq - eye))) < 1e-5
+    rec = jnp.einsum(
+        "ik...,kj...->ij...", Q, R, precision=jax.lax.Precision.HIGHEST
+    )
+    rel = float(jnp.max(jnp.abs(rec - A)) / jnp.max(jnp.abs(A)))
+    assert rel < 1e-5
+    # strict triangularity: the wavefront really annihilates every
+    # subdiagonal entry (not just approximately reconstructs)
+    sub = np.tril(np.ones((m, n)), -1).astype(bool)
+    assert float(jnp.max(jnp.abs(jnp.asarray(np.asarray(R))[sub]))) < 1e-4
+
+
+def test_least_squares_in_kernel():
+    """The rhs-threading + in-kernel backsolve matches the jnp pipeline and
+    solves exactly-determined systems to f32 precision."""
+    rng = np.random.default_rng(3)
+    m, n, B = 16, 8, 256
+    A = batch(rng, m, n, B)
+    y = jnp.asarray(rng.standard_normal((m, B)).astype(np.float32))
+    x = least_squares_wavefront_pallas(A, y, tile=128, interpret=True)
+    xr = least_squares_parallel(A, y)
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4
+
+    # square system: residual should vanish
+    As = batch(rng, n, n, B)
+    ys = jnp.asarray(rng.standard_normal((n, B)).astype(np.float32))
+    xs = least_squares_wavefront_pallas(As, ys, tile=128, interpret=True)
+    res = jnp.einsum("ij...,j...->i...", As, xs) - ys
+    assert float(jnp.max(jnp.abs(res))) < 1e-3
+
+
+def test_tile_smaller_than_batch():
+    rng = np.random.default_rng(4)
+    A = batch(rng, 8, 8, 512)
+    R, _ = qr_wavefront_pallas(A, tile=128, interpret=True)
+    ref = qr_parallel(A, compute_q=False)
+    assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
+
+
+def test_shape_validation():
+    A = jnp.zeros((4, 8, 128))
+    with pytest.raises(ValueError, match="m >= n"):
+        qr_wavefront_pallas(A, interpret=True)
+    with pytest.raises(ValueError, match="divide"):
+        qr_wavefront_pallas(jnp.zeros((8, 4, 100)), tile=64, interpret=True)
+    with pytest.raises(ValueError, match="rhs"):
+        least_squares_wavefront_pallas(
+            jnp.zeros((8, 4, 128)), jnp.zeros((4, 128)), interpret=True
+        )
+
+
+def test_qr_dispatcher_pallas_method():
+    from nlsolver_tpu.linalg import qr
+
+    rng = np.random.default_rng(5)
+    A = batch(rng, 8, 8, 128)
+    out = qr(A, method="pallas", interpret=True)
+    ref = qr_parallel(A)
+    assert float(jnp.max(jnp.abs(out.R - ref.R))) < 1e-4
+    assert float(jnp.max(jnp.abs(out.Q - ref.Q))) < 1e-4

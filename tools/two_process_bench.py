@@ -23,6 +23,8 @@ import time
 B, N, POP, ITERS = 16, 5, 16, 120
 RUNS = 3
 SYNC = int(os.environ.get("SYNC_INTERVAL", "1"))
+FUSED = os.environ.get("FUSED", "0") == "1"
+MIG = int(os.environ.get("MIGRATION_INTERVAL", "10"))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -53,6 +55,8 @@ def _solve_and_time(mesh, make_global):
             PROBLEMS["sphere"].fn, x0, cfg, mesh,
             keys=jax.random.wrap_key_data(keys_raw),
             sync_interval=SYNC,
+            migration_interval=MIG,
+            fused=FUSED,
         )
         return res.f_value
 
@@ -131,7 +135,7 @@ def orchestrate():
         times.append(float(mm.group(1)))
     t_multi = max(times)
     eff = t_single / t_multi
-    print(f"sync_interval={SYNC}")
+    print(f"sync_interval={SYNC} fused={FUSED} migration_interval={MIG}")
     print(f"single-process (4 devices):  {t_single*1e3:8.1f} ms")
     print(f"two-process    (2x2 devices): {t_multi*1e3:8.1f} ms")
     print(f"multi-process efficiency:     {100*eff:6.1f}%")
