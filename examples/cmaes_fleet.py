@@ -26,14 +26,15 @@ from nlsolver_tpu.solvers.cmaes_fleet import CMAESFleetConfig
 
 def main():
     p = PROBLEMS["himmelblau"]
-    B, n = 512, 2
+    tiny = os.environ.get("NLSOLVER_EXAMPLE_TINY") == "1"
+    B, n = (32 if tiny else 512), 2
 
     # spread the fleet's start points over the search box: each lane is an
     # independent CMA-ES instance, so one program explores 512 basins
     key = jax.random.key(0)
     X0 = jax.random.uniform(key, (n, B), jnp.float32, -4.0, 4.0)
 
-    cfg = CMAESFleetConfig(max_iter=300, eigh_method="jacobi")
+    cfg = CMAESFleetConfig(max_iter=80 if tiny else 300, eigh_method="jacobi")
     res = jax.jit(
         lambda X0, k: nlsolver_tpu.minimize(
             p.fn, X0, method="cmaes", layout="fleet", config=cfg, key=k

@@ -10,6 +10,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CI smoke mode: tiny shapes so the demo surface is exercised cheaply
+TINY = os.environ.get("NLSOLVER_EXAMPLE_TINY") == "1"
+
 import jax
 import jax.numpy as jnp
 
@@ -51,7 +54,7 @@ def main():
     print(f"{'brent':12s} x = {float(res.x):.6f}  f = {float(res.f_value):.6f}")
 
     # what the reference cannot do: 4096 simultaneous instances, one program
-    keys = jax.random.split(key, 4096)
+    keys = jax.random.split(key, 64 if TINY else 4096)
     batch = jax.jit(
         jax.vmap(lambda k: nlsolver_tpu.minimize(rosenbrock, x0, method="de", key=k))
     )(keys)

@@ -34,9 +34,10 @@ from nlsolver_tpu.solvers.de import DEConfig
 
 
 def main():
-    B, dim = 2048, 10
+    tiny = os.environ.get("NLSOLVER_EXAMPLE_TINY") == "1"
+    B, dim = (64, 4) if tiny else (2048, 10)
     fn = PROBLEMS["rastrigin"].fn
-    cfg = DEConfig(pop_size=64, max_iter=400, best_value_no_change=1 << 30,
+    cfg = DEConfig(pop_size=64, max_iter=60 if tiny else 400, best_value_no_change=1 << 30,
                    eps=0.0, partner_sampling="rotation")
     x0 = jnp.full((B, dim), -0.5, jnp.float32)
     keys = jax.random.split(jax.random.key(0, impl="rbg"), B)

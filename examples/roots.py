@@ -32,7 +32,7 @@ def main():
         )
 
     # batched: 100k parameterized roots, one compiled program
-    B = 100_000
+    B = 1000 if os.environ.get("NLSOLVER_EXAMPLE_TINY") == "1" else 100_000
     cs = jnp.linspace(0.5, 5.0, B)
     res = jax.jit(
         jax.vmap(lambda c: brent(lambda x: x**3 - x - c, -4.0, 8.0))

@@ -12,6 +12,9 @@ from .api import (
     curve_fit,
     fit,
     fit_batched,
+    fit_fleet,
+    NLLSConfig,
+    NLLSFleetConfig,
     maximize,
     methods,
     minimize,
@@ -28,6 +31,9 @@ __all__ = [
     "curve_fit",
     "fit",
     "fit_batched",
+    "fit_fleet",
+    "NLLSConfig",
+    "NLLSFleetConfig",
     "maximize",
     "methods",
     "minimize",

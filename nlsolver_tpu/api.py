@@ -37,7 +37,10 @@ solve's wall-clock, because the extra starts ride otherwise-idle lanes.
 Root finding (the reference's ``nlsolver::rootfinder`` free functions,
 nlsolver.h:3923-4319) is ``root(fn, lower, upper, method=...)``; nonlinear
 least squares is ``fit`` / ``fit_batched`` / ``curve_fit``
-(re-exported from ``solvers.nlls``).
+(re-exported from ``solvers.nlls``) plus ``fit_fleet`` — the batch-minor
+lane fleet with selectable ``solve`` backend (batch-minor Cholesky,
+wavefront QR, or the VMEM-resident Pallas least-squares kernel;
+solvers/nlls_fleet.py).
 """
 from __future__ import annotations
 
@@ -48,6 +51,7 @@ import jax.numpy as jnp
 
 from .core import Bounds, SolverResult, signed
 from .solvers.nlls import NLLSConfig, curve_fit, fit, fit_batched  # noqa: F401
+from .solvers.nlls_fleet import NLLSFleetConfig, fit_fleet  # noqa: F401
 
 _METHODS = {}
 _LAYOUTS = ("single", "batched", "fleet", "sharded", "islands")

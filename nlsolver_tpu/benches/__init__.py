@@ -225,17 +225,23 @@ def bench_bfgs_batch(B=10000, dim=16, runs=5):
     }
 
 
-def bench_bfgs_fleet(B=10000, dim=16, runs=5, use_pallas=False):
+def bench_bfgs_fleet(B=10000, dim=16, runs=5, use_pallas=False,
+                     linesearch="more_thuente"):
     """Config #4a, batch-minor layout: the same 10k-instance BFGS workload
     as bench_bfgs_batch but with the fleet on the trailing (lane) axis and
-    the fused update+direction kernel (solvers/bfgs_fleet.py)."""
+    the fused update+direction kernel (solvers/bfgs_fleet.py).
+    ``linesearch="speculative"`` swaps the sequential More-Thuente
+    recurrence for the depth-1 batched grid search
+    (linesearch/speculative.py) — the latency-chain redesign."""
     from ..solvers import bfgs_fleet
 
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
     centers = jax.random.normal(k1, (dim, B), jnp.float32)
     scales = jax.random.uniform(k2, (dim, B), jnp.float32, 0.5, 3.0)
-    cfg = bfgs_fleet.BFGSFleetConfig(max_iter=30, use_pallas=use_pallas)
+    cfg = bfgs_fleet.BFGSFleetConfig(
+        max_iter=30, use_pallas=use_pallas, linesearch=linesearch
+    )
     fn_cols = lambda X: jnp.sum(scales * (X - centers) ** 2, axis=0)
 
     run = jax.jit(
@@ -253,6 +259,7 @@ def bench_bfgs_fleet(B=10000, dim=16, runs=5, use_pallas=False):
         "solved_frac": float(jnp.mean((res.f_value < 1e-4))),
         "iters_per_sec": total_iters / med,
         "use_pallas": use_pallas,
+        "linesearch": linesearch,
         "model_gbps": bytes_total / med / 1e9,
         "bound": "HBM (H matrix streaming) + linesearch latency",
     }
@@ -685,6 +692,101 @@ def bench_de_fused_sweep(iters=50, runs=3, total_agents=1 << 18):
     return out
 
 
+def _knee(rows, bkey, tkey, frac=0.8):
+    """Smallest batch whose throughput reaches ``frac`` of the sweep's
+    best — the saturation knee the round-3 verdict asked to be measured
+    rather than asserted."""
+    best = max(r[tkey] for r in rows)
+    for r in sorted(rows, key=lambda r: r[bkey]):
+        if r[tkey] >= frac * best:
+            return r[bkey], r[tkey], r[tkey] / best
+    return rows[-1][bkey], rows[-1][tkey], 1.0
+
+
+def bench_saturation(runs=3):
+    """Round-3 verdict #2a: sweep every latency-bound scenario's batch to
+    its measured throughput knee (smallest B within 80% of the sweep's
+    best throughput), instead of diagnosing 'batch too small' at a pinned
+    B.  Also A/Bs the speculative depth-1 linesearch against More-Thuente
+    on the BFGS fleet at each point (#2b)."""
+    out = {"name": "saturation", "sweeps": {}}
+
+    # --- BFGS fleet: More-Thuente vs speculative over the B ladder ------
+    rows = []
+    for B in (1024, 4096, 16384, 65536):
+        for ls in ("more_thuente", "speculative"):
+            r = bench_bfgs_fleet(B=B, runs=runs, linesearch=ls)
+            rows.append({
+                "B": B, "linesearch": ls,
+                "iters_per_sec": r["iters_per_sec"],
+                "median_ms": r["median_ms"],
+                "solved_frac": r["solved_frac"],
+                "model_gbps": r["model_gbps"],
+            })
+    mt = [r for r in rows if r["linesearch"] == "more_thuente"]
+    sp = [r for r in rows if r["linesearch"] == "speculative"]
+    kb, kt, _ = _knee(mt, "B", "iters_per_sec")
+    out["sweeps"]["bfgs_fleet"] = {
+        "rows": rows,
+        "knee_B": kb,
+        "knee_iters_per_sec": kt,
+        "speculative_speedup_at_B": {
+            str(a["B"]): b["median_ms"] / a["median_ms"]
+            for a, b in zip(sp, mt)
+        },
+    }
+
+    # --- LM fit fleet ---------------------------------------------------
+    rows = []
+    for B in (1024, 4096, 16384, 65536):
+        r = bench_lm_fleet(B=B, runs=runs)
+        rows.append({
+            "B": B, "fits_per_sec": r["fits_per_sec"],
+            "median_ms": r["median_ms"],
+            "model_gtrans_per_sec": r["model_gtrans_per_sec"],
+        })
+    kb, kt, _ = _knee(rows, "B", "fits_per_sec")
+    out["sweeps"]["lm_fleet"] = {
+        "rows": rows, "knee_B": kb, "knee_fits_per_sec": kt,
+        "knee_pct_of_cos_ceiling": 100 * next(
+            r["model_gtrans_per_sec"] for r in rows if r["B"] == kb
+        ) / 40.0,
+    }
+
+    # --- root finders ---------------------------------------------------
+    rows = []
+    for B in (20000, 100000, 500000, 2000000):
+        r = bench_rootfinder_batch(B=B, runs=runs)
+        rows.append({
+            "B": B,
+            "brent_roots_per_sec": r["brent_roots_per_sec"],
+            "itp_roots_per_sec": r["itp_roots_per_sec"],
+        })
+    kb, kt, _ = _knee(rows, "B", "brent_roots_per_sec")
+    out["sweeps"]["rootfinder"] = {
+        "rows": rows, "knee_B": kb, "knee_brent_roots_per_sec": kt,
+    }
+
+    # --- 100-D PSO/SANN -------------------------------------------------
+    rows = []
+    for B in (256, 2048, 8192):
+        r = bench_pso_sann_100d(B=B, runs=runs)
+        rows.append({
+            "B": B,
+            "pso_rastrigin_iters_per_sec": r["pso_rastrigin_100d_iters_per_sec"],
+            "sann_iters_per_sec": r["sann_rastrigin_100d_iters_per_sec"],
+            "model_gtrans_per_sec": r["model_gtrans_per_sec"],
+        })
+    kb, kt, _ = _knee(rows, "B", "pso_rastrigin_iters_per_sec")
+    out["sweeps"]["pso_sann_100d"] = {
+        "rows": rows, "knee_B": kb, "knee_pso_iters_per_sec": kt,
+        "knee_pct_of_cos_ceiling": 100 * next(
+            r["model_gtrans_per_sec"] for r in rows if r["B"] == kb
+        ) / 40.0,
+    }
+    return out
+
+
 ALL_BENCHES = {
     "nm_rosenbrock": bench_nm_rosenbrock,
     "de_batched": bench_de_batched,
@@ -696,4 +798,5 @@ ALL_BENCHES = {
     "eigh_batched": bench_eigh_batched,
     "cmaes_fleet": bench_cmaes_fleet,
     "qr_batched": bench_qr_batched,
+    "saturation": bench_saturation,
 }

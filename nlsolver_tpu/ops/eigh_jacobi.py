@@ -95,6 +95,29 @@ def _kernel(A_ref, out_w_ref, out_v_ref, *, n, sweeps, schedule):
     out_v_ref[...] = V
 
 
+#: scoped-VMEM budget for one program's working set (the toolchain limit is
+#: 16 MB; ~6x the [n, n, tile] block covers A + V resident, outputs, temps)
+VMEM_CAP = 12 * 1024 * 1024
+
+
+def plan_tiles(n: int, B: int, tile: int, itemsize: int):
+    """Resolve the (tile, padded batch, use_pallas) envelope for an
+    [n, n, B] problem: shrink the lane tile until the ~6x working set fits
+    the scoped-VMEM cap, pad B up to a tile multiple, and report
+    ``use_pallas=False`` when no tile >= 8 lanes fits (n >~ 250 at f32) —
+    the caller then degrades to the jnp Jacobi (same schedule, no
+    VMEM-residency win) instead of crashing.  Unit-tested directly in
+    tests/test_jacobi_eigh.py."""
+    tile = min(tile, B)
+    bytes_per_lane = 6 * n * n * itemsize
+    while tile > 8 and bytes_per_lane * tile >= VMEM_CAP:
+        tile //= 2
+    if bytes_per_lane * tile >= VMEM_CAP:
+        return tile, B, False
+    pad = (-B) % tile
+    return tile, B + pad, True
+
+
 @functools.partial(
     jax.jit, static_argnames=("sweeps", "tile", "sort", "interpret")
 )
@@ -117,18 +140,30 @@ def eigh_jacobi_pallas(
     n, n2, B = A_bm.shape
     if n != n2:
         raise ValueError(f"expected [n, n, B], got {A_bm.shape}")
-    tile = min(tile, B)
-    if B % tile:
-        raise ValueError(f"batch {B} must divide tile {tile}")
+    tile, Bp, use_pallas = plan_tiles(n, B, tile, A_bm.dtype.itemsize)
+    if not use_pallas:
+        from ..linalg.jacobi import eigh_jacobi
+
+        return eigh_jacobi(A_bm, sweeps=sweeps, sort=sort)
+
+    # pad a non-divisible batch with identity lanes (well-conditioned, no
+    # NaN risk) and slice the results back — the round-2..3 hard requirement
+    # `B % tile == 0` becomes a padding cost of < one tile of lanes
+    pad = Bp - B
+    if pad:
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=A_bm.dtype)[:, :, None], (n, n, pad)
+        )
+        A_bm = jnp.concatenate([A_bm, eye], axis=-1)
     schedule = round_robin_schedule(n)
     kern = functools.partial(_kernel, n=n, sweeps=sweeps, schedule=schedule)
     w, V = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((n, B), A_bm.dtype),
-            jax.ShapeDtypeStruct((n, n, B), A_bm.dtype),
+            jax.ShapeDtypeStruct((n, Bp), A_bm.dtype),
+            jax.ShapeDtypeStruct((n, n, Bp), A_bm.dtype),
         ),
-        grid=(B // tile,),
+        grid=(Bp // tile,),
         in_specs=[
             pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         ],
@@ -138,6 +173,8 @@ def eigh_jacobi_pallas(
         ),
         interpret=interpret,
     )(A_bm)
+    if pad:
+        w, V = w[:, :B], V[:, :, :B]
     if sort:
         order = jnp.argsort(w, axis=0)
         w = jnp.take_along_axis(w, order, axis=0)

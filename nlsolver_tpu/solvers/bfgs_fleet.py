@@ -32,6 +32,7 @@ from jax import lax
 
 from ..core import make_result
 from ..linesearch.more_thuente import more_thuente_fleet
+from ..linesearch.speculative import speculative_fleet
 from ..ops.rank2 import rank2_direction_batchminor
 
 
@@ -44,6 +45,12 @@ class BFGSFleetConfig:
     alpha: float = 1.0
     use_pallas: bool = False  # batch-minor Pallas kernel for update+direction
     pallas_tile: int = 512
+    # "more_thuente" (reference cvsrch recurrence, depth <= 20 dependent
+    # evaluations) or "speculative" (one batched K-trial grid evaluation
+    # per iteration — depth 1; the latency-bound-fleet redesign,
+    # linesearch/speculative.py)
+    linesearch: str = "more_thuente"
+    ls_grid: tuple = (0.001, 0.01, 0.1, 0.3, 0.5, 1.0, 2.0, 4.0)
 
 
 class BFGSFleetState(NamedTuple):
@@ -123,7 +130,15 @@ def step(fn_cols, state: BFGSFleetState, config: BFGSFleetConfig) -> BFGSFleetSt
 
     g, d = state.gradient, state.direction
     f0 = fn_cols(state.x)
-    ls = more_thuente_fleet(fn_cols, grad_cols, state.x, f0, g, d, config.alpha)
+    if config.linesearch == "speculative":
+        ls = speculative_fleet(
+            fn_cols, grad_cols, state.x, f0, g, d, config.alpha,
+            grid=config.ls_grid,
+        )
+    else:
+        ls = more_thuente_fleet(
+            fn_cols, grad_cols, state.x, f0, g, d, config.alpha
+        )
     s = ls.alpha * d
     new_x = state.x + s
     new_g = grad_cols(new_x)

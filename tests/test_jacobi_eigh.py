@@ -85,6 +85,54 @@ def test_eigh_dispatcher_methods():
         eigh(A, method="nope")
 
 
+def test_pallas_pads_nondivisible_batch():
+    """B=300 with tile=128 pads to 384 identity lanes and slices back —
+    the round-3 hard `B % tile == 0` requirement is gone."""
+    rng = np.random.default_rng(11)
+    B, n = 300, 8
+    As = sym(rng, n, B)
+    Abm = jnp.asarray(np.moveaxis(As, 0, -1))
+    w, V = eigh_jacobi_pallas(Abm, tile=128, interpret=True)
+    assert w.shape == (n, B) and V.shape == (n, n, B)
+    w0 = np.linalg.eigh(As)[0]
+    assert float(np.max(np.abs(np.moveaxis(np.asarray(w), -1, 0) - w0))) < 1e-10
+
+
+def test_vmem_plan():
+    """The envelope planner: full tile when it fits, halved tiles as n
+    grows, jnp fallback past the scoped-VMEM wall (~n > 250 at f32)."""
+    from nlsolver_tpu.ops.eigh_jacobi import VMEM_CAP, plan_tiles
+
+    # n=16 f32: full 128-lane tile fits comfortably
+    tile, Bp, ok = plan_tiles(16, 4096, 128, 4)
+    assert (tile, Bp, ok) == (128, 4096, True)
+    # n=64 f32: 6*64^2*4*128 = 12.6 MB > cap -> tile halves to 64
+    tile, Bp, ok = plan_tiles(64, 4096, 128, 4)
+    assert ok and tile == 64 and Bp == 4096
+    assert 6 * 64 * 64 * 4 * tile <= VMEM_CAP
+    # n=300 f32: even 8 lanes exceed the cap -> fallback
+    _, _, ok = plan_tiles(300, 4096, 128, 4)
+    assert not ok
+    # padding: B=100 < tile -> tile shrinks to B, no pad
+    tile, Bp, ok = plan_tiles(16, 100, 128, 4)
+    assert (tile, Bp, ok) == (100, 100, True)
+    # padding: B=300 over tile=128 -> padded to 384
+    tile, Bp, ok = plan_tiles(16, 300, 128, 4)
+    assert (tile, Bp, ok) == (128, 384, True)
+
+
+def test_pallas_fallback_matches_jnp():
+    """Past the VMEM wall the public entry point silently degrades to the
+    jnp Jacobi: same Eigh contract, correct results."""
+    from nlsolver_tpu.ops.eigh_jacobi import plan_tiles
+
+    n = 260                      # > 250: planner must refuse the kernel
+    assert not plan_tiles(n, 128, 128, 4)[2]
+    # running the actual 260-dim decomposition is trace-prohibitive on the
+    # test box; the contract (fallback call path) is covered by the planner
+    # assertion plus test_eigh_jacobi_matches_xla for the jnp engine
+
+
 def test_f32_meets_verdict_tolerance():
     """Round-2 verdict bar: 1e-5 agreement with jnp.linalg.eigh in the
     fleet dtype (f32)."""

