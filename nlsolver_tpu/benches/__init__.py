@@ -460,7 +460,9 @@ def bench_eigh_batched(B=4096, n=16, runs=5, sweeps=8, reps=20):
     )
 
     if jax.default_backend() == "tpu":
-        from ..ops.eigh_jacobi import eigh_jacobi_pallas
+        from ..ops.eigh_jacobi import eigh_jacobi_pallas, plan_tiles
+
+        out["pallas_is_fallback"] = not plan_tiles(n, B, 128, 4)[2]
 
         run_pal = chain(
             lambda A: eigh_jacobi_pallas(A, sweeps=sweeps, sort=False),
@@ -692,6 +694,60 @@ def bench_de_fused_sweep(iters=50, runs=3, total_agents=1 << 18):
     return out
 
 
+def bench_nlls_fleet(B=16384, m=32, runs=3):
+    """Config #5 head-to-head at the measured knee batch: the vmapped
+    scalar LM driver (bench_lm_fleet's engine) vs the batch-minor fleet
+    (solvers/nlls_fleet.py) under each solve backend.  The qr_pallas
+    backend routes the augmented [m+n, n, B] system through the
+    VMEM-resident in-kernel least-squares (ops/qr_wavefront.py)."""
+    from ..solvers import nlls_fleet as nf
+
+    key = jax.random.key(0)
+    t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float32)
+    k1, k2 = jax.random.split(key)
+    amps = jax.random.uniform(k1, (B,), jnp.float32, 1.0, 3.0)
+    rates = jax.random.uniform(k2, (B,), jnp.float32, 0.5, 2.0)
+    ys = amps[:, None] * jnp.exp(-rates[:, None] * t[None, :])
+
+    def residual(p, y_i):
+        return p[0] * jnp.exp(-p[1] * t) - y_i
+
+    out = {"name": "nlls_fleet", "instances": B, "m": m}
+    run_ref = jax.jit(
+        lambda: nlls_mod.fit_batched(
+            residual, jnp.ones((B, 2), jnp.float32),
+            nlls_mod.NLLSConfig(max_iter=30), data=ys,
+        )
+    )
+    med, _ = _timed(lambda: run_ref().x, runs)
+    out["vmapped_scalar_fits_per_sec"] = B / med
+    out["vmapped_scalar_median_ms"] = med * 1e3
+
+    backends = ["cholesky", "qr"]
+    if jax.default_backend() == "tpu":
+        backends.append("qr_pallas")
+    for solve in backends:
+        cfg = nf.NLLSFleetConfig(max_iter=30, solve=solve)
+        run_fl = jax.jit(
+            lambda cfg=cfg: nf.fit_fleet(
+                residual, jnp.ones((2, B), jnp.float32), cfg, data=ys
+            )
+        )
+        med_f, _ = _timed(lambda: run_fl().x, runs)
+        out[f"fleet_{solve}_fits_per_sec"] = B / med_f
+        out[f"fleet_{solve}_median_ms"] = med_f * 1e3
+        out[f"fleet_{solve}_speedup_vs_vmapped"] = med / med_f
+        res = run_fl()
+        out[f"fleet_{solve}_solved_frac"] = float(
+            jnp.mean(res.f_value < 1e-6)
+        )
+    out["bound"] = (
+        "VPU transcendental (exp residual+Jacobian) + per-iteration "
+        "small-matrix solve"
+    )
+    return out
+
+
 def _knee(rows, bkey, tkey, frac=0.8):
     """Smallest batch whose throughput reaches ``frac`` of the sweep's
     best — the saturation knee the round-3 verdict asked to be measured
@@ -798,5 +854,6 @@ ALL_BENCHES = {
     "eigh_batched": bench_eigh_batched,
     "cmaes_fleet": bench_cmaes_fleet,
     "qr_batched": bench_qr_batched,
+    "nlls_fleet": bench_nlls_fleet,
     "saturation": bench_saturation,
 }

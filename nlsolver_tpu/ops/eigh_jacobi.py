@@ -95,24 +95,38 @@ def _kernel(A_ref, out_w_ref, out_v_ref, *, n, sweeps, schedule):
     out_v_ref[...] = V
 
 
-#: scoped-VMEM budget for one program's working set (the toolchain limit is
-#: 16 MB; ~6x the [n, n, tile] block covers A + V resident, outputs, temps)
-VMEM_CAP = 12 * 1024 * 1024
+#: scoped-VMEM budget for one program's working set.  The hardware limit
+#: on this toolchain is 16 MB (measured: an n=64, tile=128 call was
+#: rejected at 19.47 MB — which calibrates the per-lane working set at
+#: ~9.3x the A-block bytes, not the naive 3x); budget 14 MB through a
+#: conservative 10x multiplier.
+VMEM_CAP = 14 * 1024 * 1024
+_WORKSET_MULT = 10
 
 
 def plan_tiles(n: int, B: int, tile: int, itemsize: int):
     """Resolve the (tile, padded batch, use_pallas) envelope for an
-    [n, n, B] problem: shrink the lane tile until the ~6x working set fits
-    the scoped-VMEM cap, pad B up to a tile multiple, and report
-    ``use_pallas=False`` when no tile >= 8 lanes fits (n >~ 250 at f32) —
-    the caller then degrades to the jnp Jacobi (same schedule, no
-    VMEM-residency win) instead of crashing.  Unit-tested directly in
-    tests/test_jacobi_eigh.py."""
-    tile = min(tile, B)
-    bytes_per_lane = 6 * n * n * itemsize
-    while tile > 8 and bytes_per_lane * tile >= VMEM_CAP:
-        tile //= 2
-    if bytes_per_lane * tile >= VMEM_CAP:
+    [n, n, B] problem under two hard constraints (both measured on this
+    toolchain, tests/test_jacobi_eigh.py unit-tests the planner):
+
+    * Mosaic's lane rule: the trailing block dim must be a MULTIPLE OF
+      128 or equal the whole batch — so the tile ladder is 128k (or
+      exactly B when B < 128); sub-128 tiles of a larger batch are
+      rejected by the compiler, not just slow.
+    * scoped VMEM: ~10x the [n, n, tile] block bytes must fit
+      ``VMEM_CAP`` (9.3x measured at n=64).
+
+    Returns ``use_pallas=False`` when no legal tile fits (n >~ 52 at f32
+    with B >= 128) — the caller degrades to the jnp Jacobi (same
+    schedule, no VMEM-residency win) instead of crashing."""
+    bytes_per_lane = _WORKSET_MULT * n * n * itemsize
+    if B < 128:
+        tile = B                      # equal-to-array-dim case
+    else:
+        tile = max(128, min(tile, B) // 128 * 128)
+        while tile > 128 and bytes_per_lane * tile > VMEM_CAP:
+            tile = (tile // 2) // 128 * 128
+    if bytes_per_lane * tile > VMEM_CAP:
         return tile, B, False
     pad = (-B) % tile
     return tile, B + pad, True

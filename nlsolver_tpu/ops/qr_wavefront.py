@@ -23,6 +23,27 @@ from ..linalg.givens import givens_rotation
 from ..linalg.qr_parallel import sameh_kuck_schedule
 
 
+def _plan(B: int, tile: int):
+    """Mosaic lane rule (same as ops/eigh_jacobi.plan_tiles): the trailing
+    block dim must be a multiple of 128 or equal the whole batch.  Returns
+    (tile, padded_B); non-conforming batches are identity-padded."""
+    if B < 128:
+        return B, B
+    tile = max(128, min(tile, B) // 128 * 128)
+    return tile, B + (-B) % tile
+
+
+def _pad_lanes(X, pad):
+    """Append ``pad`` zero lanes on the trailing axis (zeros are safe for
+    the QR rotations: the stable givens_rotation maps (0, 0) -> identity,
+    and the pad lanes are sliced away before returning)."""
+    if not pad:
+        return X
+    return jnp.concatenate(
+        [X, jnp.zeros(X.shape[:-1] + (pad,), X.dtype)], axis=-1
+    )
+
+
 def _stage(R, carried, ps, qs, js, perm, dtype):
     """One wavefront stage on the [m, n, T] tile (+ same row ops on every
     carried [m, *, T] tile)."""
@@ -113,19 +134,18 @@ def qr_wavefront_pallas(
     m, n, B = A_bm.shape
     if m < n:
         raise ValueError(f"need m >= n, got {A_bm.shape}")
-    tile = min(tile, B)
-    if B % tile:
-        raise ValueError(f"batch {B} must divide tile {tile}")
+    tile, Bp = _plan(B, tile)
+    A_bm = _pad_lanes(A_bm, Bp - B)
     schedule = sameh_kuck_schedule(m, n)
     kern = functools.partial(
         _kernel, m=m, n=n, schedule=schedule, compute_q=compute_q, solve=False
     )
-    out_shape = [jax.ShapeDtypeStruct((m, n, B), A_bm.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((m, n, Bp), A_bm.dtype)]
     out_specs = [
         pl.BlockSpec((m, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     ]
     if compute_q:
-        out_shape.append(jax.ShapeDtypeStruct((m, m, B), A_bm.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((m, m, Bp), A_bm.dtype))
         out_specs.append(
             pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
@@ -133,7 +153,7 @@ def qr_wavefront_pallas(
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
-        grid=(B // tile,),
+        grid=(Bp // tile,),
         in_specs=[
             pl.BlockSpec((m, n, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
@@ -141,9 +161,9 @@ def qr_wavefront_pallas(
         out_specs=tuple(out_specs),
         interpret=interpret,
     )(A_bm)
-    R = outs[0]
+    R = outs[0][..., :B]
     if compute_q:
-        return R, jnp.swapaxes(outs[1], 0, 1)
+        return R, jnp.swapaxes(outs[1][..., :B], 0, 1)
     return R, None
 
 
@@ -167,17 +187,26 @@ def least_squares_wavefront_pallas(
         raise ValueError(f"need m >= n, got {A_bm.shape}")
     if y_bm.shape != (m, B):
         raise ValueError(f"rhs must be [m, B]={m, B}, got {y_bm.shape}")
-    tile = min(tile, B)
-    if B % tile:
-        raise ValueError(f"batch {B} must divide tile {tile}")
+    tile, Bp = _plan(B, tile)
+    pad = Bp - B
+    if pad:
+        # pad A with identity-like lanes (ones on a diagonal would also
+        # work; zero A gives R=0 and the backsolve 0/0 -> nan in DEAD
+        # lanes only, which are sliced away — use eye to keep them finite)
+        eye = jnp.zeros((m, n, pad), A_bm.dtype)
+        eye = eye.at[jnp.arange(n), jnp.arange(n), :].set(1.0)
+        A_bm = jnp.concatenate([A_bm, eye], axis=-1)
+        y_bm = jnp.concatenate(
+            [y_bm, jnp.zeros((m, pad), y_bm.dtype)], axis=-1
+        )
     schedule = sameh_kuck_schedule(m, n)
     kern = functools.partial(
         _kernel, m=m, n=n, schedule=schedule, compute_q=False, solve=True
     )
     x = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, 1, B), A_bm.dtype),
-        grid=(B // tile,),
+        out_shape=jax.ShapeDtypeStruct((n, 1, Bp), A_bm.dtype),
+        grid=(Bp // tile,),
         in_specs=[
             pl.BlockSpec((m, n, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -188,4 +217,4 @@ def least_squares_wavefront_pallas(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A_bm, y_bm[:, None, :])
-    return x[:, 0, :]
+    return x[:, 0, :B]

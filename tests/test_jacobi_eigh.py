@@ -99,26 +99,41 @@ def test_pallas_pads_nondivisible_batch():
 
 
 def test_vmem_plan():
-    """The envelope planner: full tile when it fits, halved tiles as n
-    grows, jnp fallback past the scoped-VMEM wall (~n > 250 at f32)."""
-    from nlsolver_tpu.ops.eigh_jacobi import VMEM_CAP, plan_tiles
+    """The envelope planner under the two measured constraints: the
+    Mosaic lane rule (tile = 128k or == B) and the ~10x working-set
+    VMEM budget (an n=64, tile=128 call was rejected on-chip at
+    19.47 MB > the 16 MB hardware limit)."""
+    from nlsolver_tpu.ops.eigh_jacobi import (
+        _WORKSET_MULT, VMEM_CAP, plan_tiles,
+    )
 
     # n=16 f32: full 128-lane tile fits comfortably
     tile, Bp, ok = plan_tiles(16, 4096, 128, 4)
     assert (tile, Bp, ok) == (128, 4096, True)
-    # n=64 f32: 6*64^2*4*128 = 12.6 MB > cap -> tile halves to 64
-    tile, Bp, ok = plan_tiles(64, 4096, 128, 4)
-    assert ok and tile == 64 and Bp == 4096
-    assert 6 * 64 * 64 * 4 * tile <= VMEM_CAP
-    # n=300 f32: even 8 lanes exceed the cap -> fallback
+    # n=64, B >= 128: tile=128 needs 19.47 MB (measured) and sub-128
+    # tiles are illegal -> fallback to the jnp Jacobi
+    _, _, ok = plan_tiles(64, 4096, 128, 4)
+    assert not ok
+    # n=64 with a SMALL batch: tile == B is the legal equal-to-array
+    # case and fits
+    tile, Bp, ok = plan_tiles(64, 64, 128, 4)
+    assert (tile, Bp, ok) == (64, 64, True)
+    assert _WORKSET_MULT * 64 * 64 * 4 * 64 <= VMEM_CAP
+    # n=48 stays on the full 128-lane tile
+    tile, Bp, ok = plan_tiles(48, 4096, 128, 4)
+    assert (tile, Bp, ok) == (128, 4096, True)
+    # n=300: nothing fits
     _, _, ok = plan_tiles(300, 4096, 128, 4)
     assert not ok
-    # padding: B=100 < tile -> tile shrinks to B, no pad
+    # padding: B=100 < 128 -> tile == B, no pad
     tile, Bp, ok = plan_tiles(16, 100, 128, 4)
     assert (tile, Bp, ok) == (100, 100, True)
     # padding: B=300 over tile=128 -> padded to 384
     tile, Bp, ok = plan_tiles(16, 300, 128, 4)
     assert (tile, Bp, ok) == (128, 384, True)
+    # a 256-lane tile request is honored when it fits
+    tile, Bp, ok = plan_tiles(16, 4096, 256, 4)
+    assert (tile, Bp, ok) == (256, 4096, True)
 
 
 def test_pallas_fallback_matches_jnp():
@@ -126,7 +141,7 @@ def test_pallas_fallback_matches_jnp():
     jnp Jacobi: same Eigh contract, correct results."""
     from nlsolver_tpu.ops.eigh_jacobi import plan_tiles
 
-    n = 260                      # > 250: planner must refuse the kernel
+    n = 260                      # planner must refuse the kernel
     assert not plan_tiles(n, 128, 128, 4)[2]
     # running the actual 260-dim decomposition is trace-prohibitive on the
     # test box; the contract (fallback call path) is covered by the planner

@@ -85,12 +85,29 @@ def test_shape_validation():
     A = jnp.zeros((4, 8, 128))
     with pytest.raises(ValueError, match="m >= n"):
         qr_wavefront_pallas(A, interpret=True)
-    with pytest.raises(ValueError, match="divide"):
-        qr_wavefront_pallas(jnp.zeros((8, 4, 100)), tile=64, interpret=True)
     with pytest.raises(ValueError, match="rhs"):
         least_squares_wavefront_pallas(
             jnp.zeros((8, 4, 128)), jnp.zeros((4, 128)), interpret=True
         )
+
+
+def test_lane_rule_padding():
+    """Batches that violate the Mosaic lane rule (trailing block dim a
+    multiple of 128 or == B) are padded and sliced back, for both the QR
+    and the in-kernel least-squares paths."""
+    rng = np.random.default_rng(9)
+    for B in (300, 60):
+        A = batch(rng, 8, 4, B)
+        y = jnp.asarray(rng.standard_normal((8, B)).astype(np.float32))
+        R, Q = qr_wavefront_pallas(A, compute_q=True, interpret=True)
+        ref = qr_parallel(A)
+        assert R.shape == (8, 4, B) and Q.shape == (8, 8, B)
+        assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
+        x = least_squares_wavefront_pallas(A, y, interpret=True)
+        xr = least_squares_parallel(A, y)
+        assert x.shape == (4, B)
+        assert float(jnp.max(jnp.abs(x - xr))) < 1e-4
+        assert bool(jnp.all(jnp.isfinite(x)))
 
 
 def test_qr_dispatcher_pallas_method():
