@@ -119,3 +119,22 @@ def test_qr_dispatcher_pallas_method():
     ref = qr_parallel(A)
     assert float(jnp.max(jnp.abs(out.R - ref.R))) < 1e-4
     assert float(jnp.max(jnp.abs(out.Q - ref.Q))) < 1e-4
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-kernel check; run with NLSOLVER_TEST_TPU=1 on the chip",
+)
+def test_on_chip_bit_exact_vs_jnp_wavefront():
+    """On the real chip the Mosaic kernel must be BIT-exact vs the jnp
+    wavefront (identical rotations, both f32) — the round-4 measurement
+    that qualified the kernel (BENCH_NOTES)."""
+    rng = np.random.default_rng(0)
+    A = batch(rng, 16, 16, 512)
+    y = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+    R, _ = qr_wavefront_pallas(A, tile=128)
+    Rr = qr_parallel(A, compute_q=False).R
+    assert float(jnp.max(jnp.abs(R - Rr))) == 0.0
+    x = least_squares_wavefront_pallas(A, y, tile=128)
+    xr = least_squares_parallel(A, y)
+    assert float(jnp.max(jnp.abs(x - xr))) == 0.0
