@@ -13,6 +13,7 @@ from .api import (
     fit,
     fit_batched,
     fit_fleet,
+    fit_sharded,
     NLLSConfig,
     NLLSFleetConfig,
     maximize,
@@ -32,6 +33,7 @@ __all__ = [
     "fit",
     "fit_batched",
     "fit_fleet",
+    "fit_sharded",
     "NLLSConfig",
     "NLLSFleetConfig",
     "maximize",

@@ -53,6 +53,18 @@ from .core import Bounds, SolverResult, signed
 from .solvers.nlls import NLLSConfig, curve_fit, fit, fit_batched  # noqa: F401
 from .solvers.nlls_fleet import NLLSFleetConfig, fit_fleet  # noqa: F401
 
+
+def fit_sharded(residual_fn, x0s, config=None, mesh=None, data=None):
+    """``fit_batched`` with the fit batch sharded over the mesh dp axis
+    (parallel/nlls_sharded.py) — the API-level route to the dp-sharded
+    NLLS engine (same friendly surface as the other mesh engines)."""
+    if mesh is None:
+        raise ValueError("fit_sharded requires a mesh= argument")
+    from .parallel import nlls_sharded
+
+    cfg = config if config is not None else NLLSConfig()
+    return nlls_sharded.fit_sharded(residual_fn, x0s, cfg, mesh, data=data)
+
 _METHODS = {}
 _LAYOUTS = ("single", "batched", "fleet", "sharded", "islands")
 
