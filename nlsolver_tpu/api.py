@@ -30,6 +30,9 @@ meta-driver: the user's x0 plus k-1 keyed random starts (uniform inside
 ``bounds`` when given, else ``x0 + U(-restart_spread, restart_spread)``,
 default spread 10) run as one vmapped program and reduce to the best final
 value, with counters summed over every start (the honest total budget).
+``restart_sampler="halton"`` places the extra starts on the reference's
+own low-discrepancy Halton sequence (nlsolver::rng::halton's radical
+inverse) instead of iid uniform — stratified coverage at small k.
 Multimodal problems the reference's single trajectory cannot solve
 (Shekel, Bukin N6 — reference_test_matrix.tsv) fall to this at ~one
 solve's wall-clock, because the extra starts ride otherwise-idle lanes.
@@ -116,8 +119,39 @@ def _resolve(method: str):
         ) from None
 
 
+def _halton_unit(k: int, n: int):
+    """Static [k, n] Halton points in (0, 1)^n — the reference's own
+    low-discrepancy generator (nlsolver::rng::halton, prime-base radical
+    inverse) used for START placement: stratified coverage beats iid
+    uniform at small k (no clustered/void regions), and the points are
+    deterministic — multistart results become key-independent in the
+    start positions (only solver-internal randomness keeps the key)."""
+    import numpy as np
+
+    primes = []
+    c = 2
+    while len(primes) < n:
+        if all(c % p for p in primes):
+            primes.append(c)
+        c += 1
+
+    def radical_inverse(i, base):
+        f, r = 1.0, 0.0
+        while i > 0:
+            f /= base
+            r += f * (i % base)
+            i //= base
+        return r
+
+    return np.asarray(
+        [[radical_inverse(i + 1, p) for p in primes] for i in range(k)],
+        dtype=np.float64,
+    )
+
+
 def _multistart(
-    f, fn, x0, config, bounds, key, restarts, spread, _minimize, kwargs
+    f, fn, x0, config, bounds, key, restarts, spread, sampler,
+    _minimize, kwargs
 ) -> SolverResult:
     """Best-of-``restarts`` meta-driver: the user's x0 plus ``restarts - 1``
     keyed random starts run as ONE vmapped program, reduced by best final
@@ -134,18 +168,27 @@ def _multistart(
     ``converged`` come from the winning start."""
     if restarts < 2:
         raise ValueError(f"restarts must be >= 2, got {restarts}")
+    if sampler not in ("uniform", "halton"):
+        raise ValueError(
+            f"restart_sampler must be 'uniform' or 'halton', got {sampler!r}"
+        )
     base = key if key is not None else jax.random.key(0)
     k_init, k_runs = jax.random.split(base)
     n = x0.shape[-1] if x0.ndim else 1
     shape = (restarts,) + x0.shape
+    if sampler == "halton":
+        # static stratified points (trace-time numpy; key-independent)
+        unit = jnp.asarray(
+            _halton_unit(restarts, n).reshape(shape), x0.dtype
+        )
+    else:
+        unit = jax.random.uniform(k_init, shape, x0.dtype)
     if bounds is not None:
         lo = jnp.broadcast_to(jnp.asarray(bounds.lower, x0.dtype), x0.shape)
         hi = jnp.broadcast_to(jnp.asarray(bounds.upper, x0.dtype), x0.shape)
-        starts = lo + (hi - lo) * jax.random.uniform(k_init, shape, x0.dtype)
+        starts = lo + (hi - lo) * unit
     else:
-        starts = x0 + jax.random.uniform(
-            k_init, shape, x0.dtype, minval=-spread, maxval=spread
-        )
+        starts = x0 + spread * (2.0 * unit - 1.0)
     starts = starts.at[0].set(x0)
     run_keys = jax.random.split(k_runs, restarts)
 
@@ -183,6 +226,7 @@ def _dispatch(
     verb = "minimize" if _minimize else "maximize"
     restarts = kwargs.pop("restarts", 1)
     spread = kwargs.pop("restart_spread", 10.0)
+    sampler = kwargs.pop("restart_sampler", "uniform")
 
     if layout not in _LAYOUTS:
         raise ValueError(f"unknown layout {layout!r}; one of {_LAYOUTS}")
@@ -206,7 +250,7 @@ def _dispatch(
             )
         if restarts > 1:
             return _multistart(
-                f, fn, x0, config, bounds, key, restarts, spread,
+                f, fn, x0, config, bounds, key, restarts, spread, sampler,
                 _minimize, kwargs,
             )
         if config is None:

@@ -331,3 +331,35 @@ def test_islands_fused_via_minimize(key):
         keys=jax.random.split(key, 4), fused=True,
     )
     assert float(jnp.max(res.f_value)) < 1e-2
+
+
+def test_multistart_halton_sampler(key):
+    """restart_sampler='halton': deterministic stratified starts (the
+    reference's own low-discrepancy generator) — same result across
+    keys for a deterministic solver, and it still solves Shekel."""
+    from nlsolver_tpu.api import _halton_unit
+    from nlsolver_tpu.problems import PROBLEMS
+
+    # the unit points are the radical-inverse sequence (bases 2, 3)
+    u = _halton_unit(4, 2)
+    assert abs(u[0, 0] - 0.5) < 1e-12 and abs(u[1, 0] - 0.25) < 1e-12
+    assert abs(u[0, 1] - 1 / 3) < 1e-12 and abs(u[1, 1] - 2 / 3) < 1e-12
+
+    p = PROBLEMS["shekel"]
+    x0 = jnp.full((p.dim,), -0.5)
+    r1 = nlsolver_tpu.minimize(
+        p.fn, x0, method="nelder_mead", key=jax.random.key(0),
+        restarts=8, restart_sampler="halton",
+    )
+    r2 = nlsolver_tpu.minimize(
+        p.fn, x0, method="nelder_mead", key=jax.random.key(99),
+        restarts=8, restart_sampler="halton",
+    )
+    # NM is deterministic given the start; halton starts ignore the key
+    assert float(jnp.max(jnp.abs(r1.x - r2.x))) == 0.0
+    assert float(p.distance_to_nearest_minimum(r1.x)) <= 0.05
+    with pytest.raises(ValueError, match="restart_sampler"):
+        nlsolver_tpu.minimize(
+            p.fn, x0, method="nelder_mead", restarts=4,
+            restart_sampler="sobol",
+        )
