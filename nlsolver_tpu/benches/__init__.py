@@ -502,15 +502,21 @@ def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla"))
         methods = tuple(methods) + ("pallas",)
 
     out = {"name": "cmaes_fleet", "instances": B, "dim": n, "generations": iters}
-    variants = [(m, 1) for m in methods]
+    variants = [(m, 1, False) for m in methods]
     if jax.default_backend() == "tpu":
-        # Hansen's lazy eigendecomposition on top of the Pallas kernel
-        variants.append(("pallas", 5))
-    for method, interval in variants:
+        # Hansen's lazy eigendecomposition on top of the Pallas kernel,
+        # then the deferred-covariance mode on top of THAT (the
+        # [n, n, B] stream is the measured bound past interval ~10)
+        variants += [
+            ("pallas", 5, False),
+            ("pallas", 5, True),
+            ("pallas", 10, True),
+        ]
+    for method, interval, defer in variants:
         cfg = cmaes_fleet.CMAESFleetConfig(
             max_iter=1 << 30, best_value_no_change=1 << 30,
             f_tol=0.0, kick_tol=0.0, cond_max=jnp.inf, eigh_method=method,
-            eigen_interval=interval,
+            eigen_interval=interval, defer_covariance=defer,
         )
 
         @jax.jit
@@ -523,6 +529,8 @@ def bench_cmaes_fleet(B=4096, n=16, iters=50, runs=3, methods=("jacobi", "xla"))
 
         med, _ = _timed(lambda: run(X0, key), runs)
         tag = method if interval == 1 else f"{method}_lazy{interval}"
+        if defer:
+            tag += "_defer"
         out[f"{tag}_gens_per_sec"] = B * iters / med
         out[f"{tag}_median_ms"] = med * 1e3
     if "xla_gens_per_sec" in out:

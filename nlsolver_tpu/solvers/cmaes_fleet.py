@@ -64,6 +64,17 @@ class CMAESFleetConfig:
     # variance kick would otherwise keep sampling from the pre-kick basis —
     # so any kick forces a refresh on the NEXT generation (state.kicked).
     eigen_interval: int = 1
+    # Deferred covariance accumulation (requires eigen_interval > 1): C is
+    # only USED at eigen refreshes, so instead of streaming the [n, n, B]
+    # tensor twice per generation the per-generation rank-1/rank-mu
+    # FACTORS (p_c [n, B], ytop [n, mu, B], the lane decay scalar) are
+    # buffered and C is materialized once per refresh as
+    #   C' = (prod a_i) C + sum_i (prod_{j>i} a_j)(c1 p_c p_c^T + cmu sum_l w_l y_l y_l^T)
+    # — mathematically identical to the eager recurrence (f32 roundoff;
+    # parity-tested), with per-generation HBM traffic dropping from
+    # ~2 n^2 B to ~n (mu+1) B.  The covariance stream is the measured
+    # bound past interval ~10 (BENCH_NOTES round 3).
+    defer_covariance: bool = False
 
 
 class CMAESFleetState(NamedTuple):
@@ -82,6 +93,10 @@ class CMAESFleetState(NamedTuple):
     no_change: jax.Array   # [B] int32
     gen: jax.Array         # () int32 fleet-global generation counter
     kicked: jax.Array      # () bool — a lane kicked last gen; force refresh
+    a_buf: jax.Array       # [K, B] per-gen covariance decay (defer mode)
+    pc_buf: jax.Array      # [K, n, B] per-gen evolution paths (defer mode)
+    y_buf: jax.Array       # [K, n, mu, B] per-gen top-mu steps (defer mode)
+    filled: jax.Array      # () int32 — buffered gens since last refresh
     key: jax.Array
     done: jax.Array        # [B] bool
     converged: jax.Array   # [B] bool
@@ -106,11 +121,50 @@ def _eigh_bm(C, config: CMAESFleetConfig):
     raise ValueError(f"unknown eigh_method {config.eigh_method!r}")
 
 
+def _materialize(C, a_buf, pc_buf, y_buf, filled, c1, cmu, w, mu, K):
+    """Apply the buffered covariance window in one pass (defer mode):
+    C' = (prod_i a_i) C + sum_i (prod_{j>i} a_j) U_i with
+    U_i = c1 pc_i pc_i^T + cmu sum_l w_l y_il y_il^T.  Slots >= ``filled``
+    are masked (decay 1, contribution 0) so kick-forced partial windows
+    materialize correctly."""
+    dtype = C.dtype
+    B = C.shape[-1]
+    idx = jnp.arange(K)
+    valid = idx < filled                                    # [K]
+    a_m = jnp.where(valid[:, None], a_buf, jnp.ones_like(a_buf))
+    suffix_incl = jnp.cumprod(a_m[::-1], axis=0)[::-1]      # [K, B]
+    prod_all = suffix_incl[0]
+    suffix_excl = jnp.concatenate(
+        [suffix_incl[1:], jnp.ones((1, B), dtype)], axis=0
+    )
+    Cm = prod_all[None, None, :] * C
+    for i in range(K):
+        coeff = jnp.where(valid[i], suffix_excl[i], jnp.zeros_like(prod_all))
+        pc = pc_buf[i]
+        Cm = Cm + (coeff * c1) * (pc[:, None, :] * pc[None, :, :])
+        for el in range(mu):
+            yl = y_buf[i, :, el, :]
+            Cm = Cm + (coeff * (cmu * w[el])) * (
+                yl[:, None, :] * yl[None, :, :]
+            )
+    return (Cm + jnp.swapaxes(Cm, 0, 1)) * 0.5
+
+
 def init(fn, X0: jax.Array, config: CMAESFleetConfig, key: jax.Array) -> CMAESFleetState:
     n, B = X0.shape
     dtype = X0.dtype
     f0 = colwise(fn)(X0)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, B))
+    if config.defer_covariance:
+        if config.eigen_interval < 2:
+            raise ValueError(
+                "defer_covariance requires eigen_interval > 1 (the buffers "
+                "amortize over the refresh window)"
+            )
+        K = config.eigen_interval
+        _, mu = _params(n, config.pop_size)[:2]
+    else:
+        K, mu = 1, 1                       # dummy one-slot buffers
     return CMAESFleetState(
         mean=X0,
         sigma=jnp.full((B,), config.sigma0, dtype),
@@ -127,6 +181,10 @@ def init(fn, X0: jax.Array, config: CMAESFleetConfig, key: jax.Array) -> CMAESFl
         no_change=jnp.zeros((B,), jnp.int32),
         gen=jnp.int32(0),
         kicked=jnp.asarray(False),
+        a_buf=jnp.ones((K, B), dtype),
+        pc_buf=jnp.zeros((K, n, B), dtype),
+        y_buf=jnp.zeros((K, n, mu, B), dtype),
+        filled=jnp.int32(0),
         key=key,
         done=jnp.zeros((B,), bool),
         converged=jnp.zeros((B,), bool),
@@ -146,7 +204,30 @@ def step(
     )
     w = jnp.asarray(weights, dtype)                        # [mu]
 
-    if config.eigen_interval > 1:
+    if config.defer_covariance:
+        # deferred-covariance lazy mode: C was last materialized at the
+        # previous refresh; the buffers hold the window since.  Refresh
+        # when the window is full (or a kick forces it): materialize,
+        # then eigh.
+        K = config.eigen_interval
+        did_refresh = (state.filled >= K) | state.kicked
+
+        def refresh(ops):
+            C, a_buf, pc_buf, y_buf, filled = ops
+            Cm = _materialize(
+                C, a_buf, pc_buf, y_buf, filled, c1, cmu, w, mu, K
+            )
+            ev, Q = _eigh_bm(Cm, config)
+            return Cm, jnp.sqrt(jnp.maximum(ev, 1e-20)), Q
+
+        C_base, D, Bv = lax.cond(
+            did_refresh,
+            refresh,
+            lambda ops: (ops[0], state.D, state.Bv),
+            (state.C, state.a_buf, state.pc_buf, state.y_buf, state.filled),
+        )
+        filled0 = jnp.where(did_refresh, 0, state.filled)
+    elif config.eigen_interval > 1:
         # lazy eigendecomposition: refresh B, D every eigen_interval
         # generations (scalar fleet-global pred -> real cond, the eigh is
         # skipped entirely on stale generations); C itself accumulates
@@ -227,18 +308,35 @@ def step(
     p_c = (1 - cc) * state.p_c + hsig[None, :] * jnp.sqrt(
         cc * (2 - cc) * mu_eff
     ) * y_w
-    rank1 = p_c[:, None, :] * p_c[None, :, :]              # [n, n, B]
-    rank_mu = jnp.zeros((n, n, B), dtype)
-    for l in range(mu):
-        yl = ytop[:, l, :]
-        rank_mu = rank_mu + w[l] * yl[:, None, :] * yl[None, :, :]
     delta_hsig = (1 - hsig.astype(dtype)) * cc * (2 - cc)
-    C = (
-        (1 - c1 - cmu) * state.C
-        + c1 * (rank1 + delta_hsig[None, None, :] * state.C)
-        + cmu * rank_mu
-    )
-    C = (C + jnp.swapaxes(C, 0, 1)) / 2
+    if config.defer_covariance:
+        # buffer this generation's factors instead of streaming [n, n, B]
+        a_t = (1.0 - c1 - cmu) + c1 * delta_hsig           # [B]
+        a_buf = lax.dynamic_update_index_in_dim(
+            state.a_buf, a_t, filled0, axis=0
+        )
+        pc_buf = lax.dynamic_update_index_in_dim(
+            state.pc_buf, p_c, filled0, axis=0
+        )
+        y_buf = lax.dynamic_update_index_in_dim(
+            state.y_buf, ytop, filled0, axis=0
+        )
+        C = C_base
+        new_filled = filled0 + 1
+    else:
+        rank1 = p_c[:, None, :] * p_c[None, :, :]          # [n, n, B]
+        rank_mu = jnp.zeros((n, n, B), dtype)
+        for l in range(mu):
+            yl = ytop[:, l, :]
+            rank_mu = rank_mu + w[l] * yl[:, None, :] * yl[None, :, :]
+        C = (
+            (1 - c1 - cmu) * state.C
+            + c1 * (rank1 + delta_hsig[None, None, :] * state.C)
+            + cmu * rank_mu
+        )
+        C = (C + jnp.swapaxes(C, 0, 1)) / 2
+        a_buf, pc_buf, y_buf = state.a_buf, state.pc_buf, state.y_buf
+        new_filled = state.filled
 
     gen_best = jnp.take_along_axis(values, order[:1], axis=0)[0]     # [B]
     x_gen = jnp.take_along_axis(xs, order[:1][None, :, :], axis=1)[:, 0, :]
@@ -262,6 +360,10 @@ def step(
         no_change=no_change,
         gen=state.gen + 1,
         kicked=any_kick,
+        a_buf=a_buf,
+        pc_buf=pc_buf,
+        y_buf=y_buf,
+        filled=new_filled,
         key=key,
         done=jnp.zeros_like(state.done),
         converged=jnp.zeros_like(state.converged),
@@ -276,7 +378,7 @@ def _merge(pred, a: CMAESFleetState, b: CMAESFleetState) -> CMAESFleetState:
     jnp.where)."""
     out = {}
     for f in CMAESFleetState._fields:
-        if f in ("key", "gen", "kicked"):
+        if f in ("key", "gen", "kicked", "filled"):
             out[f] = getattr(b, f)
             continue
         av, bv = getattr(a, f), getattr(b, f)

@@ -130,3 +130,75 @@ def test_fleet_checkpoint_resume_bit_exact(key, tmp_path):
     assert jnp.array_equal(s.mean, s_resumed.mean)
     assert jnp.array_equal(s.C, s_resumed.C)
     assert jnp.array_equal(s.best_value, s_resumed.best_value)
+
+
+def test_defer_covariance_matches_eager_lazy():
+    """defer_covariance=True is mathematically the eager lazy recurrence:
+    in f64 the trajectory (mean/sigma/best) matches to machine precision,
+    and materializing the buffered window reproduces the eager C.  (The
+    state.C FIELD lags by design — the window lives in the buffers.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.problems import PROBLEMS
+    from nlsolver_tpu.solvers import cmaes_fleet as cf
+    from nlsolver_tpu.solvers.cmaes import _params
+
+    fn = PROBLEMS["rastrigin"].fn
+    n, B = 8, 16
+    X0 = jnp.full((n, B), -0.5, jnp.float64)
+
+    def run(defer, iters):
+        cfg = cf.CMAESFleetConfig(
+            max_iter=1 << 30, best_value_no_change=1 << 30, f_tol=0.0,
+            kick_tol=0.0, cond_max=jnp.inf, eigh_method="jacobi",
+            eigen_interval=5, defer_covariance=defer,
+        )
+        state = cf.init(fn, X0, cfg, jax.random.key(0))
+        return cf.drive_fleet_scan(lambda s: cf.step(fn, s, cfg), state, iters)
+
+    for iters in (6, 11):
+        e, d = run(False, iters), run(True, iters)
+        assert float(jnp.max(jnp.abs(e.mean - d.mean))) < 1e-11, iters
+        assert float(jnp.max(jnp.abs(e.sigma - d.sigma))) < 1e-11
+        assert float(jnp.max(jnp.abs(e.best_value - d.best_value))) < 1e-11
+        # materialize the deferred window: must equal the eager C
+        lam, mu, w, *_rest = _params(n, 0)
+        c1, cmu = _rest[3], _rest[4]
+        Cm = cf._materialize(
+            d.C, d.a_buf, d.pc_buf, d.y_buf, d.filled,
+            c1, cmu, jnp.asarray(w, jnp.float64), mu, 5,
+        )
+        assert float(jnp.max(jnp.abs(Cm - e.C))) < 1e-11, iters
+
+
+def test_defer_covariance_validation():
+    import jax.numpy as jnp
+    import pytest
+
+    from nlsolver_tpu.solvers import cmaes_fleet as cf
+
+    with pytest.raises(ValueError, match="eigen_interval"):
+        cf.init(
+            lambda x: jnp.sum(x * x),
+            jnp.zeros((4, 8)),
+            cf.CMAESFleetConfig(defer_covariance=True, eigen_interval=1),
+            jax.random.key(0),
+        )
+
+
+def test_defer_covariance_solves():
+    """End-to-end: the deferred mode still optimizes (f32, with kick +
+    termination active — the partial-window kick path executes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers import cmaes_fleet as cf
+
+    sphere = lambda x: jnp.sum(x * x)
+    X0 = jnp.full((4, 16), 2.0, jnp.float32)
+    cfg = cf.CMAESFleetConfig(
+        max_iter=200, eigen_interval=5, defer_covariance=True,
+    )
+    res = cf.minimize_fleet(sphere, X0, cfg, key=jax.random.key(1))
+    assert float(jnp.median(res.f_value)) < 1e-3
