@@ -198,7 +198,13 @@ def _multistart(
         return f(fn, x0_i, config, bounds=bounds, key=key_i, **kwargs)
 
     res = jax.vmap(one)(starts, run_keys)
-    pick = jnp.argmin(res.f_value) if _minimize else jnp.argmax(res.f_value)
+    # a NaN-diverged start must never hijack the selection (jnp.argmin
+    # returns the NaN index): mask NaNs to the worst possible value
+    fv = res.f_value
+    if _minimize:
+        pick = jnp.argmin(jnp.where(jnp.isnan(fv), jnp.inf, fv))
+    else:
+        pick = jnp.argmax(jnp.where(jnp.isnan(fv), -jnp.inf, fv))
     best = jax.tree_util.tree_map(lambda a: a[pick], res)
     return best._replace(
         iterations=jnp.sum(res.iterations),
@@ -371,6 +377,11 @@ def _dispatch(
         res = de_island.minimize_islands(fn, x0, cfg, mesh, keys=keys, **kwargs)
     else:  # sharded
         if method in ("cmaes", "cmaes_fleet"):
+            if keys is not None:
+                raise ValueError(
+                    "the CMA-ES fleet draws ONE fleet-global stream; pass "
+                    "key= (a single key), not per-instance keys="
+                )
             from .parallel import cmaes_sharded
             from .solvers import cmaes_fleet
 

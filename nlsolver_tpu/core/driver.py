@@ -54,10 +54,11 @@ def _wrap_progress(progress: Callable, every: int):
 
     Duplicate suppression is per-EXECUTION, not per-trace: the callback
     closure is baked into the jit-compiled program, so any memory it keeps
-    outlives one call.  With ``ordered=True`` delivery (the single-device
-    default in :func:`attach_progress`) iterations arrive monotonically
+    outlives one call.  With ``ordered=True`` delivery (an OPT-IN on
+    :func:`attach_progress` — the default is unordered on every path,
+    since vmap rejects ordered callbacks) iterations arrive monotonically
     within a run, so a lower iteration reliably means a NEW execution and
-    the tracker resets.  Under unordered delivery (required by vmap) a
+    the tracker resets.  Under unordered delivery (the default) a
     stale out-of-order report one window back is indistinguishable from a
     restart; it is treated as a restart, whose worst case is a duplicate
     report — never a lost one.  Concurrent executions of the same compiled

@@ -23,14 +23,28 @@ from ..linalg.givens import givens_rotation
 from ..linalg.qr_parallel import sameh_kuck_schedule
 
 
-def _plan(B: int, tile: int):
+#: scoped-VMEM budget + working-set multiplier, calibrated like
+#: ops/eigh_jacobi (a kernel's real VMEM footprint measured ~9-10x its
+#: resident block bytes on this toolchain)
+VMEM_CAP = 14 * 1024 * 1024
+_WORKSET_MULT = 10
+
+
+def _plan(B: int, tile: int, bytes_per_lane: int):
     """Mosaic lane rule (same as ops/eigh_jacobi.plan_tiles): the trailing
-    block dim must be a multiple of 128 or equal the whole batch.  Returns
-    (tile, padded_B); non-conforming batches are identity-padded."""
+    block dim must be a multiple of 128 or equal the whole batch — PLUS
+    the scoped-VMEM budget (``bytes_per_lane`` = resident elements per
+    lane x itemsize; the ~10x multiplier covers temps).  Returns
+    (tile, padded_B, fits); ``fits=False`` tells the caller to degrade to
+    the jnp wavefront instead of hanging/crashing the remote Mosaic
+    compile (review finding, round 4)."""
+    need = _WORKSET_MULT * bytes_per_lane
     if B < 128:
-        return B, B
+        return B, B, need * B <= VMEM_CAP
     tile = max(128, min(tile, B) // 128 * 128)
-    return tile, B + (-B) % tile
+    while tile > 128 and need * tile > VMEM_CAP:
+        tile = (tile // 2) // 128 * 128
+    return tile, B + (-B) % tile, need * tile <= VMEM_CAP
 
 
 def _pad_lanes(X, pad):
@@ -134,7 +148,13 @@ def qr_wavefront_pallas(
     m, n, B = A_bm.shape
     if m < n:
         raise ValueError(f"need m >= n, got {A_bm.shape}")
-    tile, Bp = _plan(B, tile)
+    resident = m * n + (m * m if compute_q else 0)
+    tile, Bp, fits = _plan(B, tile, resident * A_bm.dtype.itemsize)
+    if not fits:
+        from ..linalg.qr_parallel import qr_parallel
+
+        out = qr_parallel(A_bm, compute_q=compute_q)
+        return out.R, out.Q
     A_bm = _pad_lanes(A_bm, Bp - B)
     schedule = sameh_kuck_schedule(m, n)
     kern = functools.partial(
@@ -187,7 +207,11 @@ def least_squares_wavefront_pallas(
         raise ValueError(f"need m >= n, got {A_bm.shape}")
     if y_bm.shape != (m, B):
         raise ValueError(f"rhs must be [m, B]={m, B}, got {y_bm.shape}")
-    tile, Bp = _plan(B, tile)
+    tile, Bp, fits = _plan(B, tile, (m * n + m + n) * A_bm.dtype.itemsize)
+    if not fits:
+        from ..linalg.qr_parallel import least_squares_parallel
+
+        return least_squares_parallel(A_bm, y_bm)
     pad = Bp - B
     if pad:
         # pad A with identity-like lanes (ones on a diagonal would also

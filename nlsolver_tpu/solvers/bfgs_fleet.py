@@ -32,7 +32,7 @@ from jax import lax
 
 from ..core import make_result
 from ..linesearch.more_thuente import more_thuente_fleet
-from ..linesearch.speculative import speculative_fleet
+from ..linesearch.speculative import DEFAULT_GRID, speculative_fleet
 from ..ops.rank2 import rank2_direction_batchminor
 
 
@@ -50,7 +50,7 @@ class BFGSFleetConfig:
     # per iteration — depth 1; the latency-bound-fleet redesign,
     # linesearch/speculative.py)
     linesearch: str = "more_thuente"
-    ls_grid: tuple = (0.001, 0.01, 0.1, 0.3, 0.5, 1.0, 2.0, 4.0)
+    ls_grid: tuple = DEFAULT_GRID
 
 
 class BFGSFleetState(NamedTuple):
@@ -135,9 +135,14 @@ def step(fn_cols, state: BFGSFleetState, config: BFGSFleetConfig) -> BFGSFleetSt
             fn_cols, grad_cols, state.x, f0, g, d, config.alpha,
             grid=config.ls_grid,
         )
-    else:
+    elif config.linesearch == "more_thuente":
         ls = more_thuente_fleet(
             fn_cols, grad_cols, state.x, f0, g, d, config.alpha
+        )
+    else:
+        raise ValueError(
+            f"unknown linesearch {config.linesearch!r}; "
+            f"'more_thuente' or 'speculative'"
         )
     s = ls.alpha * d
     new_x = state.x + s

@@ -16,18 +16,6 @@ import argparse
 import json
 import sys
 
-THROUGHPUT_MARKERS = (
-    "_per_sec", "iters_per_sec", "fits_per_sec", "roots_per_sec",
-    "gbps", "tflops", "gelems",
-)
-# context fields that look numeric but are not throughputs
-SKIP_MARKERS = (
-    "median_ms", "min_ms", "_ms", "err", "frac", "pct", "speedup",
-    "instances", "generations", "B", "n", "m", "dim", "sweeps", "knee_B",
-    "solve_time_us", "iterations", "bound",
-)
-
-
 def flatten(obj, prefix=""):
     out = {}
     if isinstance(obj, dict):
@@ -42,10 +30,16 @@ def flatten(obj, prefix=""):
 
 
 def is_throughput(path):
+    """True for measured rates only — suffix match, never substrings (a
+    substring list containing 'n'/'m'/'B' silently dropped every
+    *gens_per_sec / *iters_per_sec metric and gutted the gate; caught in
+    the round-4 self-review)."""
     leaf = path.rsplit(".", 1)[-1]
-    if any(s in leaf for s in SKIP_MARKERS):
+    if "pct" in leaf or "speedup" in leaf:
         return False
-    return any(m in leaf for m in THROUGHPUT_MARKERS)
+    return leaf.endswith(("_per_sec", "_gbps", "_tflops")) or (
+        "tflops" in leaf
+    )
 
 
 def main():

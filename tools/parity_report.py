@@ -242,8 +242,9 @@ def main():
         "",
         f"**Summary:** reference-passing pairs covered: {must_pass_ok}/{must_pass};"
         f" pairs the reference fails but this framework solves: {bonus}"
-        f" family-level = **{raw_covered} of the {raw_fail}** raw (solver, problem,"
-        " RNG) rows the reference's own harness records as failing.",
+        f" family-level, covering **{raw_covered} of the {raw_fail}** raw"
+        " (solver, problem, RNG) rows the reference's own harness records"
+        " as failing.",
         "",
         "Residual failures are solver-structural, not budget-bound: the",
         "ms-ladder's 64-restart, 10x-iteration tier rescued no additional",
