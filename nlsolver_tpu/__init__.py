@@ -13,6 +13,7 @@ from .api import (
     fit,
     fit_batched,
     fit_fleet,
+    fit_fleet_sharded,
     fit_sharded,
     NLLSConfig,
     NLLSFleetConfig,
@@ -33,6 +34,7 @@ __all__ = [
     "fit",
     "fit_batched",
     "fit_fleet",
+    "fit_fleet_sharded",
     "fit_sharded",
     "NLLSConfig",
     "NLLSFleetConfig",

@@ -57,6 +57,17 @@ from .solvers.nlls import NLLSConfig, curve_fit, fit, fit_batched  # noqa: F401
 from .solvers.nlls_fleet import NLLSFleetConfig, fit_fleet  # noqa: F401
 
 
+def fit_fleet_sharded(residual_fn, X0, config=None, mesh=None, data=None):
+    """``fit_fleet`` with the lane axis sharded over every device of
+    ``mesh`` (parallel/fleet_sharded.py) — the mesh route for the
+    batch-minor NLLS fleet (lane-parallel, zero collectives)."""
+    from .parallel import fleet_sharded
+
+    return fleet_sharded.fit_fleet_sharded(
+        residual_fn, X0, config, mesh, data=data
+    )
+
+
 def fit_sharded(residual_fn, x0s, config=None, mesh=None, data=None):
     """``fit_batched`` with the fit batch sharded over the mesh dp axis
     (parallel/nlls_sharded.py) — the API-level route to the dp-sharded
@@ -262,6 +273,24 @@ def _dispatch(
         if config is None:
             return f(fn, x0, bounds=bounds, key=key, **kwargs)
         return f(fn, x0, config, bounds=bounds, key=key, **kwargs)
+
+    if layout == "sharded" and method in ("bfgs", "bfgs_fleet"):
+        # lane-sharded BFGS fleet (embarrassingly lane-parallel; pure data
+        # parallelism over every mesh device — parallel/fleet_sharded.py)
+        if mesh is None:
+            raise ValueError("layout='sharded' requires a mesh= argument")
+        if not _minimize:
+            fn_neg = fn
+            fn = lambda x: -fn_neg(x)  # noqa: E731
+        from .parallel import fleet_sharded
+        from .solvers import bfgs_fleet as bff
+
+        fn_cols = kwargs.pop("fn_cols", None)
+        if fn_cols is None:
+            fn_cols = bff.colwise(fn)
+        cfg = config if config is not None else bff.BFGSFleetConfig()
+        res = fleet_sharded.minimize_fleet_sharded(fn_cols, x0, cfg, mesh)
+        return res if _minimize else res._replace(f_value=-res.f_value)
 
     if layout == "sharded" and method in ("lbfgs", "lbfgs_sharded"):
         # dimension-sharded L-BFGS: x0 is the single global [n] point; the

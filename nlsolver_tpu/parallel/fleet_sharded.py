@@ -1,0 +1,87 @@
+"""Mesh-sharded lane fleets: BFGS and NLLS.
+
+Like the CMA-ES fleet (parallel/cmaes_sharded.py), the batch-minor BFGS
+fleet (solvers/bfgs_fleet.py) and NLLS fleet (solvers/nlls_fleet.py) are
+lane-parallel with NO cross-lane data flow — every update (the rank-2
+pass, the line search recurrence, the per-lane LM solves) is elementwise
+over the trailing lane axis.  Sharding is therefore pure data
+parallelism: pin the lane axis over every mesh device and XLA partitions
+the whole while_loop with zero collectives.
+
+These wrappers exist for API symmetry with de_sharded / pso_sharded /
+cmaes_sharded: shard the inputs, run the fleet, return per-lane results
+in the caller's order.  Reachable via
+``minimize(method="bfgs", layout="sharded", mesh=...)`` and
+``fit_fleet(..., mesh=...)``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solvers import bfgs_fleet, nlls_fleet
+from .mesh import DP_AXIS, POP_AXIS
+
+
+def _lane_sharding(mesh: Mesh):
+    """[.., B] arrays with the TRAILING lane axis over every device."""
+    return NamedSharding(mesh, P(None, (DP_AXIS, POP_AXIS)))
+
+
+def _check_width(B: int, mesh: Mesh):
+    n_dev = mesh.devices.size
+    if B % n_dev:
+        raise ValueError(f"fleet width {B} must divide over {n_dev} devices")
+
+
+def minimize_fleet_sharded(
+    fn_cols,
+    X0: jax.Array,                      # [n, B] batch-minor start points
+    config: Optional[bfgs_fleet.BFGSFleetConfig] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """B independent BFGS minimizations with the lane axis sharded over
+    EVERY device of ``mesh``.  ``fn_cols: [n, B_local] -> [B_local]`` must
+    be column-wise (lane-separable), which every objective lifted via
+    ``bfgs_fleet.colwise`` is."""
+    if mesh is None:
+        raise ValueError("minimize_fleet_sharded requires a mesh")
+    _check_width(X0.shape[1], mesh)
+    cfg = config if config is not None else bfgs_fleet.BFGSFleetConfig()
+    X0 = jax.device_put(jnp.asarray(X0), _lane_sharding(mesh))
+
+    @jax.jit
+    def run(X0):
+        return bfgs_fleet.minimize_fleet(fn_cols, X0, cfg)
+
+    return run(X0)
+
+
+def fit_fleet_sharded(
+    residual_fn,
+    X0: jax.Array,                      # [n, B] batch-minor start points
+    config: Optional[nlls_fleet.NLLSFleetConfig] = None,
+    mesh: Optional[Mesh] = None,
+    data=None,                          # per-instance pytree, leading dim B
+):
+    """B independent least-squares fits, lane axis sharded over every
+    device; per-instance ``data`` (leading dim B) is sharded to match."""
+    if mesh is None:
+        raise ValueError("fit_fleet_sharded requires a mesh")
+    _check_width(X0.shape[1], mesh)
+    cfg = config if config is not None else nlls_fleet.NLLSFleetConfig()
+    X0 = jax.device_put(jnp.asarray(X0), _lane_sharding(mesh))
+    if data is not None:
+        lead = NamedSharding(mesh, P((DP_AXIS, POP_AXIS)))
+        data = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), lead), data
+        )
+
+    @jax.jit
+    def run(X0, data):
+        return nlls_fleet.fit_fleet(residual_fn, X0, cfg, data=data)
+
+    return run(X0, data)

@@ -126,3 +126,49 @@ class TestCMAESFleetSharded:
             outs.append(np.asarray(res.f_value))
         assert np.array_equal(outs[0], outs[1])
         assert float(np.median(outs[0])) < 1e-4
+
+
+def test_lane_sharded_bfgs_fleet_layout_invariance():
+    """parallel/fleet_sharded.py: the lane-sharded BFGS fleet gives
+    bit-identical results across mesh layouts (pure data parallelism —
+    the lane axis has no cross-lane data flow)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from nlsolver_tpu.parallel import bfgs_minimize_fleet_sharded, make_mesh
+    from nlsolver_tpu.solvers import bfgs_fleet as bff
+
+    fn_cols = lambda X: jnp.sum((X - 1.5) ** 2, axis=0)
+    X0 = jnp.linspace(-1.0, 1.0, 3 * 8, dtype=jnp.float32).reshape(3, 8)
+    cfg = bff.BFGSFleetConfig(max_iter=40, grad_eps=1e-6)
+    r_a = bfgs_minimize_fleet_sharded(fn_cols, X0, cfg, make_mesh(8, dp=2, pop=4))
+    r_b = bfgs_minimize_fleet_sharded(fn_cols, X0, cfg, make_mesh(4, dp=4, pop=1))
+    np.testing.assert_array_equal(np.asarray(r_a.x), np.asarray(r_b.x))
+    assert float(jnp.max(r_a.f_value)) < 1e-8
+    with __import__("pytest").raises(ValueError, match="divide"):
+        bfgs_minimize_fleet_sharded(
+            fn_cols, jnp.zeros((3, 6)), cfg, make_mesh(8, dp=2, pop=4)
+        )
+
+
+def test_lane_sharded_fit_fleet_matches_unsharded():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from nlsolver_tpu.parallel import fit_fleet_sharded, make_mesh
+    from nlsolver_tpu.solvers import nlls_fleet as nf
+
+    B, m = 8, 16
+    t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float32)
+    amps = jnp.linspace(1.0, 3.0, B, dtype=jnp.float32)
+    ys = amps[:, None] * jnp.exp(-1.0 * t)[None, :]
+    residual = lambda p, y: p[0] * jnp.exp(-p[1] * t) - y
+    cfg = nf.NLLSFleetConfig(max_iter=25)
+    X0 = jnp.ones((2, B), jnp.float32)
+    sharded = fit_fleet_sharded(residual, X0, cfg, make_mesh(8, dp=2, pop=4), data=ys)
+    plain = jax.jit(lambda X: nf.fit_fleet(residual, X, cfg, data=ys))(X0)
+    np.testing.assert_allclose(
+        np.asarray(sharded.x), np.asarray(plain.x), rtol=1e-6
+    )
