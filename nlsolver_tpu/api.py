@@ -20,8 +20,12 @@ The TPU-first flagships are reachable through the same entry point via the
       ``de_batched`` engine, every other method is ``vmap``-ped;
     * ``layout="fleet"`` — batch-minor ``[n, B]`` lane fleets
       (``method="bfgs"`` -> ``solvers.bfgs_fleet``);
-    * ``layout="sharded"`` — population sharded over a device ``mesh``
-      (``method="de"`` / ``"pso"`` -> ``parallel.*_sharded``);
+    * ``layout="sharded"`` — engines over a device ``mesh``:
+      ``de``/``pso`` shard the POPULATION (``parallel.*_sharded``),
+      ``cmaes``/``bfgs`` shard the fleet LANE axis
+      (``parallel.cmaes_sharded`` / ``fleet_sharded``), ``lbfgs`` shards
+      the DIMENSION axis (``parallel.lbfgs_sharded``, shard-local
+      objective contract);
     * ``layout="islands"`` — island-model DE with ring migration over
       ``mesh`` (``method="de"`` -> ``parallel.de_island``).
 
