@@ -278,24 +278,6 @@ def _dispatch(
             return f(fn, x0, bounds=bounds, key=key, **kwargs)
         return f(fn, x0, config, bounds=bounds, key=key, **kwargs)
 
-    if layout == "sharded" and method in ("bfgs", "bfgs_fleet"):
-        # lane-sharded BFGS fleet (embarrassingly lane-parallel; pure data
-        # parallelism over every mesh device — parallel/fleet_sharded.py)
-        if mesh is None:
-            raise ValueError("layout='sharded' requires a mesh= argument")
-        if not _minimize:
-            fn_neg = fn
-            fn = lambda x: -fn_neg(x)  # noqa: E731
-        from .parallel import fleet_sharded
-        from .solvers import bfgs_fleet as bff
-
-        fn_cols = kwargs.pop("fn_cols", None)
-        if fn_cols is None:
-            fn_cols = bff.colwise(fn)
-        cfg = config if config is not None else bff.BFGSFleetConfig()
-        res = fleet_sharded.minimize_fleet_sharded(fn_cols, x0, cfg, mesh)
-        return res if _minimize else res._replace(f_value=-res.f_value)
-
     if layout == "sharded" and method in ("lbfgs", "lbfgs_sharded"):
         # dimension-sharded L-BFGS: x0 is the single global [n] point; the
         # objective contract is SHARD-LOCAL (fn(x_local) -> partial value
@@ -336,8 +318,14 @@ def _dispatch(
     # silently runs every "independent" lane on an identical stream.
     # (Exception: the CMA-ES fleet layouts draw ONE fleet-global stream.)
     fleet_like = layout == "fleet" or (
-        layout == "sharded" and method in ("cmaes", "cmaes_fleet")
+        layout == "sharded"
+        and method in ("cmaes", "cmaes_fleet", "bfgs", "bfgs_fleet")
     )
+    if fleet_like and keys is not None:
+        raise ValueError(
+            "fleet layouts draw ONE fleet-global stream (or none, for the "
+            "deterministic BFGS fleet); pass key=, not per-instance keys="
+        )
     n_lanes = x0.shape[1] if layout == "fleet" else x0.shape[0]
     if keys is None and not fleet_like:
         keys = jax.random.split(
@@ -409,12 +397,34 @@ def _dispatch(
         cfg = config if config is not None else _METHODS["de"].DEConfig()
         res = de_island.minimize_islands(fn, x0, cfg, mesh, keys=keys, **kwargs)
     else:  # sharded
-        if method in ("cmaes", "cmaes_fleet"):
-            if keys is not None:
+        if method in ("bfgs", "bfgs_fleet"):
+            # lane-sharded BFGS fleet (pure data parallelism over every
+            # mesh device — parallel/fleet_sharded.py).  ``fn`` is already
+            # sign-wrapped above, so maximize works for both the lifted
+            # objective and an explicit fn_cols=.
+            if bounds is not None:
                 raise ValueError(
-                    "the CMA-ES fleet draws ONE fleet-global stream; pass "
-                    "key= (a single key), not per-instance keys="
+                    "the BFGS fleet is unconstrained; use method='lbfgsb' "
+                    "for box constraints"
                 )
+            from .parallel import fleet_sharded
+            from .solvers import bfgs_fleet as bff
+
+            fn_cols = kwargs.pop("fn_cols", None)
+            if fn_cols is None:
+                fn_cols = bff.colwise(fn)
+            elif not _minimize:
+                user_cols = fn_cols
+                fn_cols = lambda X: -user_cols(X)  # noqa: E731
+            if kwargs:
+                raise TypeError(
+                    f"unexpected arguments for the sharded BFGS fleet: "
+                    f"{sorted(kwargs)}"
+                )
+            cfg = config if config is not None else bff.BFGSFleetConfig()
+            res = fleet_sharded.minimize_fleet_sharded(fn_cols, x0, cfg, mesh)
+            return unflip(res)
+        if method in ("cmaes", "cmaes_fleet"):
             from .parallel import cmaes_sharded
             from .solvers import cmaes_fleet
 
@@ -433,8 +443,8 @@ def _dispatch(
             cfg = config if config is not None else _METHODS["pso"].PSOConfig()
         else:
             raise ValueError(
-                f"layout='sharded' supports method='de', 'pso', 'cmaes' "
-                f"(lane-sharded fleet, x0=[n, B]) or 'lbfgs' "
+                f"layout='sharded' supports method='de', 'pso', 'cmaes'/"
+                f"'bfgs' (lane-sharded fleets, x0=[n, B]) or 'lbfgs' "
                 f"(dimension-sharded, x0=[n] + grad_local=), got {method!r}"
             )
         res = eng.minimize_sharded(fn, x0, cfg, mesh, keys=keys, **kwargs)

@@ -104,6 +104,21 @@ VMEM_CAP = 14 * 1024 * 1024
 _WORKSET_MULT = 10
 
 
+def plan_lane_tiles(B: int, tile: int, resident_bytes_per_lane: int):
+    """Shared lane-tile planner for VMEM-resident batch-minor kernels
+    (this eigensolver and ops/qr_wavefront.py): the Mosaic lane rule
+    (trailing block dim a multiple of 128 or == B) plus the scoped-VMEM
+    budget (``_WORKSET_MULT`` x the per-lane resident block bytes).
+    Returns (tile, padded_B, fits)."""
+    need = _WORKSET_MULT * resident_bytes_per_lane
+    if B < 128:
+        return B, B, need * B < VMEM_CAP
+    tile = max(128, min(tile, B) // 128 * 128)
+    while tile > 128 and need * tile >= VMEM_CAP:
+        tile = (tile // 2) // 128 * 128
+    return tile, B + (-B) % tile, need * tile < VMEM_CAP
+
+
 def plan_tiles(n: int, B: int, tile: int, itemsize: int):
     """Resolve the (tile, padded batch, use_pallas) envelope for an
     [n, n, B] problem under two hard constraints (both measured on this
@@ -119,17 +134,10 @@ def plan_tiles(n: int, B: int, tile: int, itemsize: int):
     Returns ``use_pallas=False`` when no legal tile fits (n >~ 52 at f32
     with B >= 128) — the caller degrades to the jnp Jacobi (same
     schedule, no VMEM-residency win) instead of crashing."""
-    bytes_per_lane = _WORKSET_MULT * n * n * itemsize
-    if B < 128:
-        tile = B                      # equal-to-array-dim case
-    else:
-        tile = max(128, min(tile, B) // 128 * 128)
-        while tile > 128 and bytes_per_lane * tile > VMEM_CAP:
-            tile = (tile // 2) // 128 * 128
-    if bytes_per_lane * tile > VMEM_CAP:
-        return tile, B, False
-    pad = (-B) % tile
-    return tile, B + pad, True
+    t, Bp, fits = plan_lane_tiles(B, tile, n * n * itemsize)
+    if not fits:
+        return t, B, False
+    return t, Bp, True
 
 
 @functools.partial(

@@ -21,30 +21,7 @@ import jax.numpy as jnp
 
 from ..linalg.givens import givens_rotation
 from ..linalg.qr_parallel import sameh_kuck_schedule
-
-
-#: scoped-VMEM budget + working-set multiplier, calibrated like
-#: ops/eigh_jacobi (a kernel's real VMEM footprint measured ~9-10x its
-#: resident block bytes on this toolchain)
-VMEM_CAP = 14 * 1024 * 1024
-_WORKSET_MULT = 10
-
-
-def _plan(B: int, tile: int, bytes_per_lane: int):
-    """Mosaic lane rule (same as ops/eigh_jacobi.plan_tiles): the trailing
-    block dim must be a multiple of 128 or equal the whole batch — PLUS
-    the scoped-VMEM budget (``bytes_per_lane`` = resident elements per
-    lane x itemsize; the ~10x multiplier covers temps).  Returns
-    (tile, padded_B, fits); ``fits=False`` tells the caller to degrade to
-    the jnp wavefront instead of hanging/crashing the remote Mosaic
-    compile (review finding, round 4)."""
-    need = _WORKSET_MULT * bytes_per_lane
-    if B < 128:
-        return B, B, need * B <= VMEM_CAP
-    tile = max(128, min(tile, B) // 128 * 128)
-    while tile > 128 and need * tile > VMEM_CAP:
-        tile = (tile // 2) // 128 * 128
-    return tile, B + (-B) % tile, need * tile <= VMEM_CAP
+from .eigh_jacobi import plan_lane_tiles as _plan  # shared VMEM/lane planner
 
 
 def _pad_lanes(X, pad):

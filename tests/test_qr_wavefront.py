@@ -138,3 +138,39 @@ def test_on_chip_bit_exact_vs_jnp_wavefront():
     x = least_squares_wavefront_pallas(A, y, tile=128)
     xr = least_squares_parallel(A, y)
     assert float(jnp.max(jnp.abs(x - xr))) == 0.0
+
+
+def test_vmem_fallback_to_jnp_wavefront(monkeypatch):
+    """Out-of-envelope shapes (review finding: e.g. m=128 with Q, whose
+    working set exceeds the scoped-VMEM cap at any legal tile) degrade to
+    the jnp wavefront instead of hanging the remote Mosaic compile —
+    same contract, correct results.  The refusal is asserted at the real
+    cap; the degraded execution path is exercised at a small shape by
+    shrinking the cap (tracing an actual m=128 wavefront is
+    compile-prohibitive on the test box)."""
+    import nlsolver_tpu.ops.eigh_jacobi as ej
+
+    m, n, B = 128, 8, 256
+    # the planner must refuse the real Q-path working set at m=128 ...
+    assert not ej.plan_lane_tiles(B, 128, (m * n + m * m) * 4)[2]
+    # ... while the rhs-threading pipeline (no Q) still fits there
+    assert ej.plan_lane_tiles(B, 128, (m * n + m + n) * 4)[2]
+
+    # force the fallback at a cheap shape: shrink the cap below any tile.
+    # The shape must be UNIQUE in this test session — the planner runs at
+    # trace time, so a jit-cache hit from another test would silently
+    # reuse the pallas-path executable
+    monkeypatch.setattr(ej, "VMEM_CAP", 1)
+    m, n, B = 12, 6, 192
+    rng = np.random.default_rng(2)
+    A = batch(rng, m, n, B)
+    y = jnp.asarray(rng.standard_normal((m, B)).astype(np.float32))
+    R, Q = qr_wavefront_pallas(A, compute_q=True, interpret=True)
+    ref = qr_parallel(A)
+    assert R.shape == (m, n, B) and Q.shape == (m, m, B)
+    # same jnp algorithm; jit-context fusion differences allow f32 drift
+    assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
+    assert float(jnp.max(jnp.abs(Q - ref.Q))) < 1e-4
+    x = least_squares_wavefront_pallas(A, y, interpret=True)
+    xr = least_squares_parallel(A, y)
+    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4

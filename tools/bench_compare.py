@@ -2,9 +2,9 @@
 
     python tools/bench_compare.py BENCH_ALL_r03.json BENCH_ALL_r04.json
 
-Walks both artifacts, pairs every numeric throughput-like metric
-(*_per_sec, iters_per_sec, fits_per_sec, *gbps*, *tflops*, *gelems*)
-by its JSON path, and prints the ratio new/old.  Exit code 1 if any
+Walks both artifacts, pairs every numeric throughput metric (leaf names
+ending in _per_sec / _gbps / _gflops / _tflops) by its JSON path, and
+prints the ratio new/old.  Exit code 1 if any
 paired throughput regressed more than ``--tol`` (default 20% — the
 tunnel's measured run-to-run noise band; see BENCH_NOTES on measurement
 epochs) so it can serve as a CI perf gate between rounds.
@@ -37,7 +37,7 @@ def is_throughput(path):
     leaf = path.rsplit(".", 1)[-1]
     if "pct" in leaf or "speedup" in leaf:
         return False
-    return leaf.endswith(("_per_sec", "_gbps", "_tflops")) or (
+    return leaf.endswith(("_per_sec", "_gbps", "_gflops", "_tflops")) or (
         "tflops" in leaf
     )
 
