@@ -283,3 +283,75 @@ def minimize(
 
 def maximize(fn, x0, config: CMAESConfig = CMAESConfig(), bounds=None, *, key=None):
     return minimize(fn, x0, config, bounds, key=key, _minimize=False)
+
+
+def minimize_ipop(
+    fn: Objective,
+    x0: jax.Array,
+    config: CMAESConfig = CMAESConfig(),
+    bounds: Optional[Bounds] = None,
+    *,
+    key: Optional[jax.Array] = None,
+    max_restarts: int = 4,
+    pop_mult: float = 2.0,
+) -> SolverResult:
+    """IPOP-CMA-ES: restart with an INCREASING population (Auger & Hansen
+    2005; the massively-parallel formulation of arXiv:2409.11765 is the
+    retrieved reference, PAPERS.md).  Each restart multiplies lambda by
+    ``pop_mult`` and re-launches from a fresh keyed start — larger
+    populations progressively trade local convergence speed for global
+    exploration, which is the canonical cure for CMA-ES stalling on
+    multimodal landscapes.
+
+    Stages run as a Python loop (lambda changes the compiled shapes, so
+    each population size compiles once and is cached); the returned
+    result carries the best stage's solution with counters SUMMED across
+    every stage (``solver_status.add`` semantics, nlsolver.h:2084-2091).
+    Set ``max_restarts=0`` for plain CMA-ES.
+    """
+    import dataclasses
+    import math as _math
+
+    if key is None:
+        key = jax.random.key(0)
+    x0 = jnp.asarray(x0)
+    n = x0.shape[-1]
+    lam0 = config.pop_size if config.pop_size > 0 else 4 + int(
+        3 * _math.log(n)
+    )
+
+    best: Optional[SolverResult] = None
+    for stage in range(max_restarts + 1):
+        lam = max(int(round(lam0 * pop_mult**stage)), lam0 + stage)
+        cfg = dataclasses.replace(config, pop_size=lam)
+        key, k_start, k_run = jax.random.split(key, 3)
+        if stage == 0:
+            start = x0
+        else:
+            # fresh start inside the box (or a keyed perturbation of x0)
+            if bounds is not None:
+                lo = jnp.broadcast_to(jnp.asarray(bounds.lower, x0.dtype), x0.shape)
+                hi = jnp.broadcast_to(jnp.asarray(bounds.upper, x0.dtype), x0.shape)
+                start = lo + (hi - lo) * jax.random.uniform(
+                    k_start, x0.shape, x0.dtype
+                )
+            else:
+                start = x0 + 2.0 * config.sigma0 * jax.random.normal(
+                    k_start, x0.shape, x0.dtype
+                )
+        res = minimize(fn, start, cfg, bounds, key=k_run)
+        if best is None:
+            best = res
+        else:
+            keep_new = jnp.asarray(res.f_value < best.f_value)
+            merged = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep_new, new, old), res, best
+            )
+            # counters accumulate across stages regardless of the winner
+            best = merged._replace(
+                iterations=best.iterations + res.iterations,
+                function_calls=best.function_calls + res.function_calls,
+                gradient_calls=best.gradient_calls + res.gradient_calls,
+                hessian_calls=best.hessian_calls + res.hessian_calls,
+            )
+    return best
