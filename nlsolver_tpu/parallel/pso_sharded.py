@@ -2,17 +2,25 @@
 
 Unlike sharded DE (which must ``all_gather`` the agent matrix because every
 agent mixes with random partners), PSO's only cross-shard dependency is the
-swarm-best position — so the per-iteration communication is just a
-``pmin``/``psum`` pair over ICI (BASELINE.json: "global best-member
-selection via psum/argmin collectives over ICI"):
+swarm-best position plus the spread-based termination statistic.  Round 4
+applies the island-DE collective-diet lesson (BENCH_NOTES): everything is
+PACKED into ONE ``all_gather`` of a [b, p_loc + n + 1] block per
+generation —
 
   1. each pop shard updates and evaluates its local particles;
-  2. global best value = ``pmin`` of local bests;
-  3. the owning shard (ties broken by lowest shard index) broadcasts its
-     best position with a masked ``psum``.
+  2. one gather carries (this shard's particle-best values block, its
+     local candidate value, its candidate position);
+  3. every shard reconstructs the full particle-best vector (bit-identical
+     to the old dedicated gather), takes the spread, and selects the
+     global candidate by argmin with ties to the lowest shard index
+     (bit-identical to the old pmin + owner-pmin + masked-psum triple).
 
-Randomness is layout-invariant via fold_in(instance_key, global_particle_id,
-iteration).
+The spread is computed at the END of the generation that produced it and
+carried in the state; the next generation's termination check reads it —
+the same value the old code recomputed at the top of the next iteration,
+so results are bit-identical with 4x fewer collectives per generation.
+Randomness is layout-invariant via fold_in(instance_key,
+global_particle_id, iteration).
 """
 from __future__ import annotations
 
@@ -80,23 +88,37 @@ def minimize_sharded(
 
         positions, velocities, values = jax.vmap(init_one)(keys_loc, x0_loc)
 
-        def global_best(vals_loc, pos_loc):
-            # vals_loc [b_loc, p_loc]; pos_loc [b_loc, p_loc, n]
+        def packed_best_and_spread(vals_loc, pos_loc, best_vals_loc):
+            """ONE all_gather per call: global candidate (value, position)
+            from this generation's evaluations + the spread of the full
+            particle-best vector.  Bit-identical to the former
+            gather + pmin + owner-pmin + masked-psum sequence."""
             loc_idx = jnp.argmin(vals_loc, axis=1)
             loc_val = jnp.take_along_axis(vals_loc, loc_idx[:, None], axis=1)[:, 0]
             loc_pos = jnp.take_along_axis(
                 pos_loc, loc_idx[:, None, None], axis=1
             )[:, 0]
-            glob_val = lax.pmin(loc_val, POP_AXIS)
-            is_owner = loc_val == glob_val
-            owner_shard = lax.pmin(
-                jnp.where(is_owner, pop_idx, jnp.int32(1 << 30)), POP_AXIS
-            )
-            mine = is_owner & (pop_idx == owner_shard)
-            glob_pos = lax.psum(loc_pos * mine[:, None].astype(dtype), POP_AXIS)
-            return glob_val, glob_pos
+            packed = jnp.concatenate(
+                [best_vals_loc, loc_val[:, None], loc_pos], axis=1
+            )                                           # [b, p_loc + 1 + n]
+            g = lax.all_gather(packed, POP_AXIS, axis=0, tiled=False)
+            # [shards, b, p_loc + 1 + n]
+            bv_all = jnp.swapaxes(g[:, :, :p_loc], 0, 1).reshape(
+                b_loc, pop_shards * p_loc
+            )                                           # == tiled gather order
+            spread = std_err(bv_all, axis=1)
+            cand_vals = g[:, :, p_loc]                  # [shards, b]
+            owner = jnp.argmin(cand_vals, axis=0)       # ties -> lowest shard
+            glob_val = jnp.min(cand_vals, axis=0)
+            pos_all = g[:, :, p_loc + 1 :]              # [shards, b, n]
+            glob_pos = jnp.take_along_axis(
+                pos_all, owner[None, :, None], axis=0
+            )[0]
+            return glob_val, glob_pos, spread
 
-        sb_val, sb_pos = global_best(values, positions)
+        sb_val, sb_pos, spread0 = packed_best_and_spread(
+            values, positions, values
+        )
 
         state = dict(
             positions=positions,
@@ -106,6 +128,7 @@ def minimize_sharded(
             best_values=values,
             swarm_best_value=sb_val,       # [b_loc]
             swarm_best_position=sb_pos,    # [b_loc, n]
+            spread=spread0,                # [b_loc] particle-best spread
             iteration=jnp.zeros((b_loc,), jnp.int32),
             nfev=jnp.full((b_loc,), P_total, jnp.int32),
             val_no_change=jnp.zeros((b_loc,), jnp.int32),
@@ -118,11 +141,11 @@ def minimize_sharded(
             return lax.psum(still, DP_AXIS) > 0
 
         def body(s):
-            # termination on the spread of particle-best values (global)
-            bv_all = lax.all_gather(s["best_values"], POP_AXIS, axis=1, tiled=True)
-            spread = std_err(bv_all, axis=1)
+            # termination on the spread of particle-best values, carried
+            # from the END of the generation that produced them (same
+            # value the old code recomputed here with a dedicated gather)
             hit_tol = (s["val_no_change"] >= config.best_value_no_change) | (
-                spread < config.eps
+                s["spread"] < config.eps
             )
             done_now = (s["iteration"] >= config.max_iter) | hit_tol
 
@@ -158,7 +181,9 @@ def minimize_sharded(
             best_positions = jnp.where(
                 improved[..., None], new_pos, s["best_positions"]
             )
-            cand_val, cand_pos = global_best(new_vals, new_pos)
+            cand_val, cand_pos, new_spread = packed_best_and_spread(
+                new_vals, new_pos, best_values
+            )
             sw_improved = cand_val < s["swarm_best_value"]
             sb_val = jnp.where(sw_improved, cand_val, s["swarm_best_value"])
             sb_pos = jnp.where(sw_improved[:, None], cand_pos, s["swarm_best_position"])
@@ -172,6 +197,7 @@ def minimize_sharded(
                 best_values=best_values,
                 swarm_best_value=sb_val,
                 swarm_best_position=sb_pos,
+                spread=new_spread,
                 iteration=s["iteration"] + 1,
                 nfev=s["nfev"] + P_total,
                 val_no_change=vnc,

@@ -172,3 +172,23 @@ def test_lane_sharded_fit_fleet_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded.x), np.asarray(plain.x), rtol=1e-6
     )
+
+
+def test_sharded_pso_single_collective_per_generation(mesh, key):
+    """Round-4 collective diet for PSO: the while body carries exactly ONE
+    all-gather (the packed candidate+spread block) and the cond's
+    all-reduce — no collective-permute, no extra reductions."""
+    from nlsolver_tpu.parallel import pso_minimize_sharded
+    from nlsolver_tpu.solvers.pso import PSOConfig
+
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = PSOConfig(n_particles=16, max_iter=40)
+    lowered = jax.jit(
+        lambda x, k: pso_minimize_sharded(p.fn, x, cfg, mesh, k).x
+    ).lower(x0, keys)
+    body = lowered.compile().as_text().split("ENTRY")[0]
+    assert body.count("all-gather") <= 1, body.count("all-gather")
+    assert body.count("collective-permute") == 0

@@ -25,6 +25,7 @@ RUNS = 3
 SYNC = int(os.environ.get("SYNC_INTERVAL", "1"))
 FUSED = os.environ.get("FUSED", "0") == "1"
 MIG = int(os.environ.get("MIGRATION_INTERVAL", "10"))
+SOLVER = os.environ.get("SOLVER", "island_de")  # island_de | pso
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -34,13 +35,11 @@ def _solve_and_time(mesh, make_global):
     import jax
     import jax.numpy as jnp
 
-    from nlsolver_tpu.parallel import de_island
+    from nlsolver_tpu.parallel import de_island, pso_sharded
     from nlsolver_tpu.problems import PROBLEMS
     from nlsolver_tpu.solvers.de import DEConfig
+    from nlsolver_tpu.solvers.pso import PSOConfig
 
-    cfg = DEConfig(
-        pop_size=POP, max_iter=ITERS, best_value_no_change=1 << 30, eps=0.0
-    )
     import numpy as np
 
     x0_all = np.linspace(-2.0, 2.0, B * N, dtype=np.float32).reshape(B, N)
@@ -49,16 +48,34 @@ def _solve_and_time(mesh, make_global):
     )
     x0, keys_raw = make_global(x0_all, keys_all)
 
-    @jax.jit
-    def run(x0, keys_raw):
-        res = de_island.minimize_islands(
-            PROBLEMS["sphere"].fn, x0, cfg, mesh,
-            keys=jax.random.wrap_key_data(keys_raw),
-            sync_interval=SYNC,
-            migration_interval=MIG,
-            fused=FUSED,
+    if SOLVER == "pso":
+        pcfg = PSOConfig(
+            n_particles=POP, max_iter=ITERS,
+            best_value_no_change=1 << 30, eps=0.0,
         )
-        return res.f_value
+
+        @jax.jit
+        def run(x0, keys_raw):
+            res = pso_sharded.minimize_sharded(
+                PROBLEMS["sphere"].fn, x0, pcfg, mesh,
+                keys=jax.random.wrap_key_data(keys_raw),
+            )
+            return res.f_value
+    else:
+        cfg = DEConfig(
+            pop_size=POP, max_iter=ITERS, best_value_no_change=1 << 30, eps=0.0
+        )
+
+        @jax.jit
+        def run(x0, keys_raw):
+            res = de_island.minimize_islands(
+                PROBLEMS["sphere"].fn, x0, cfg, mesh,
+                keys=jax.random.wrap_key_data(keys_raw),
+                sync_interval=SYNC,
+                migration_interval=MIG,
+                fused=FUSED,
+            )
+            return res.f_value
 
     jax.block_until_ready(run(x0, keys_raw))     # compile + warm
     times = []
@@ -135,7 +152,7 @@ def orchestrate():
         times.append(float(mm.group(1)))
     t_multi = max(times)
     eff = t_single / t_multi
-    print(f"sync_interval={SYNC} fused={FUSED} migration_interval={MIG}")
+    print(f"solver={SOLVER} sync_interval={SYNC} fused={FUSED} migration_interval={MIG}")
     print(f"single-process (4 devices):  {t_single*1e3:8.1f} ms")
     print(f"two-process    (2x2 devices): {t_multi*1e3:8.1f} ms")
     print(f"multi-process efficiency:     {100*eff:6.1f}%")
