@@ -103,13 +103,15 @@ def minimize_sharded(
         )
 
         def gathered(state):
-            scores_g = lax.all_gather(
-                state["scores"], POP_AXIS, axis=1, tiled=True
-            )  # [b_loc, pop]
-            agents_g = lax.all_gather(
-                state["agents"], POP_AXIS, axis=1, tiled=True
-            )  # [b_loc, pop, n]
-            return agents_g, scores_g
+            # ONE packed gather (agents with the score appended as an
+            # extra column) instead of two — same values, same shard
+            # order, half the per-generation rendezvous (round-4
+            # collective diet; bit-identical results)
+            packed = jnp.concatenate(
+                [state["agents"], state["scores"][..., None]], axis=-1
+            )                                      # [b_loc, p_loc, n+1]
+            g = lax.all_gather(packed, POP_AXIS, axis=1, tiled=True)
+            return g[..., :n], g[..., n]
 
         def cond(state):
             still = jnp.sum((~state["done"]).astype(jnp.int32))

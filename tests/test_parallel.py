@@ -192,3 +192,19 @@ def test_sharded_pso_single_collective_per_generation(mesh, key):
     body = lowered.compile().as_text().split("ENTRY")[0]
     assert body.count("all-gather") <= 1, body.count("all-gather")
     assert body.count("collective-permute") == 0
+
+
+def test_sharded_de_single_gather_per_generation(mesh, key):
+    """Round-4 collective diet for the fully-sharded DE: the agent matrix
+    and the score vector travel in ONE packed all-gather per generation
+    (plus the cond's all-reduce)."""
+    p = PROBLEMS["sphere"]
+    B = 4
+    x0 = jnp.tile(jnp.full((2,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = DEConfig(pop_size=32, max_iter=40)
+    lowered = jax.jit(
+        lambda x, k: minimize_sharded(p.fn, x, cfg, mesh, k).x
+    ).lower(x0, keys)
+    body = lowered.compile().as_text().split("ENTRY")[0]
+    assert body.count("all-gather") <= 1, body.count("all-gather")

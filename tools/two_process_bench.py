@@ -25,7 +25,7 @@ RUNS = 3
 SYNC = int(os.environ.get("SYNC_INTERVAL", "1"))
 FUSED = os.environ.get("FUSED", "0") == "1"
 MIG = int(os.environ.get("MIGRATION_INTERVAL", "10"))
-SOLVER = os.environ.get("SOLVER", "island_de")  # island_de | pso
+SOLVER = os.environ.get("SOLVER", "island_de")  # island_de | pso | de_sharded
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -48,7 +48,21 @@ def _solve_and_time(mesh, make_global):
     )
     x0, keys_raw = make_global(x0_all, keys_all)
 
-    if SOLVER == "pso":
+    if SOLVER == "de_sharded":
+        from nlsolver_tpu.parallel import de_sharded
+
+        dcfg = DEConfig(
+            pop_size=POP, max_iter=ITERS, best_value_no_change=1 << 30, eps=0.0
+        )
+
+        @jax.jit
+        def run(x0, keys_raw):
+            res = de_sharded.minimize_sharded(
+                PROBLEMS["sphere"].fn, x0, dcfg, mesh,
+                keys=jax.random.wrap_key_data(keys_raw),
+            )
+            return res.f_value
+    elif SOLVER == "pso":
         pcfg = PSOConfig(
             n_particles=POP, max_iter=ITERS,
             best_value_no_change=1 << 30, eps=0.0,
