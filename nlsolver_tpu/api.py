@@ -381,7 +381,13 @@ def _dispatch(
         fn_cols = kwargs.pop("fn_cols", None)
         if fn_cols is None:
             # adapt a single-point objective to the [n, B] -> [B] column form
+            # (fn is already sign-wrapped above)
             fn_cols = lambda X: jax.vmap(fn)(X.T)  # noqa: E731
+        elif not _minimize:
+            # an explicit fn_cols bypasses the signed() wrapper: negate it
+            # here so maximize maximizes (review finding, round 4)
+            user_cols = fn_cols
+            fn_cols = lambda X: -user_cols(X)  # noqa: E731
         cfg = config if config is not None else fleet.BFGSFleetConfig()
         return unflip(fleet.minimize_fleet(fn_cols, x0, cfg, **kwargs))
 

@@ -17,11 +17,11 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..core import Bounds
 from ..solvers import cmaes_fleet
-from .mesh import DP_AXIS, POP_AXIS
+from .fleet_sharded import _check_width, _lane_sharding
 
 
 def minimize_fleet_sharded(
@@ -35,13 +35,11 @@ def minimize_fleet_sharded(
 ):
     """B independent CMA-ES strategies with the lane axis sharded over
     EVERY device of ``mesh`` (both named axes — strategies are
-    embarrassingly parallel, unlike populations)."""
+    embarrassingly parallel, unlike populations).  Width check and lane
+    sharding are the shared fleet helpers (parallel/fleet_sharded.py)."""
     n, B = X0.shape
-    n_dev = mesh.devices.size
-    if B % n_dev:
-        raise ValueError(f"fleet width {B} must divide over {n_dev} devices")
-    sharding = NamedSharding(mesh, P(None, (DP_AXIS, POP_AXIS)))
-    X0 = jax.device_put(jnp.asarray(X0), sharding)
+    _check_width(B, mesh)
+    X0 = jax.device_put(jnp.asarray(X0), _lane_sharding(mesh))
     if key is None:
         key = jax.random.key(0)
 

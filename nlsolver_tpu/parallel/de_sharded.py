@@ -107,11 +107,19 @@ def minimize_sharded(
             # extra column) instead of two — same values, same shard
             # order, half the per-generation rendezvous (round-4
             # collective diet; bit-identical results)
+            # pack in the promoted dtype and cast back on unpack, so a
+            # bf16 fleet with f32 scores keeps both exact (review finding)
+            adt, sdt = state["agents"].dtype, state["scores"].dtype
+            pdt = jnp.promote_types(adt, sdt)
             packed = jnp.concatenate(
-                [state["agents"], state["scores"][..., None]], axis=-1
+                [
+                    state["agents"].astype(pdt),
+                    state["scores"][..., None].astype(pdt),
+                ],
+                axis=-1,
             )                                      # [b_loc, p_loc, n+1]
             g = lax.all_gather(packed, POP_AXIS, axis=1, tiled=True)
-            return g[..., :n], g[..., n]
+            return g[..., :n].astype(adt), g[..., n].astype(sdt)
 
         def cond(state):
             still = jnp.sum((~state["done"]).astype(jnp.int32))

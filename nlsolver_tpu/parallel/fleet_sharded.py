@@ -11,8 +11,8 @@ the whole while_loop with zero collectives.
 These wrappers exist for API symmetry with de_sharded / pso_sharded /
 cmaes_sharded: shard the inputs, run the fleet, return per-lane results
 in the caller's order.  Reachable via
-``minimize(method="bfgs", layout="sharded", mesh=...)`` and
-``fit_fleet(..., mesh=...)``.
+``minimize(method="bfgs", layout="sharded", mesh=...)`` and the
+package-level ``fit_fleet_sharded(...)``.
 """
 from __future__ import annotations
 

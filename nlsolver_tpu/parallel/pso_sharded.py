@@ -98,22 +98,29 @@ def minimize_sharded(
             loc_pos = jnp.take_along_axis(
                 pos_loc, loc_idx[:, None, None], axis=1
             )[:, 0]
+            vdt, xdt = best_vals_loc.dtype, loc_pos.dtype
+            pdt = jnp.promote_types(vdt, xdt)
             packed = jnp.concatenate(
-                [best_vals_loc, loc_val[:, None], loc_pos], axis=1
+                [
+                    best_vals_loc.astype(pdt),
+                    loc_val[:, None].astype(pdt),
+                    loc_pos.astype(pdt),
+                ],
+                axis=1,
             )                                           # [b, p_loc + 1 + n]
             g = lax.all_gather(packed, POP_AXIS, axis=0, tiled=False)
             # [shards, b, p_loc + 1 + n]
             bv_all = jnp.swapaxes(g[:, :, :p_loc], 0, 1).reshape(
                 b_loc, pop_shards * p_loc
-            )                                           # == tiled gather order
+            ).astype(vdt)                               # == tiled gather order
             spread = std_err(bv_all, axis=1)
-            cand_vals = g[:, :, p_loc]                  # [shards, b]
+            cand_vals = g[:, :, p_loc].astype(vdt)      # [shards, b]
             owner = jnp.argmin(cand_vals, axis=0)       # ties -> lowest shard
             glob_val = jnp.min(cand_vals, axis=0)
             pos_all = g[:, :, p_loc + 1 :]              # [shards, b, n]
             glob_pos = jnp.take_along_axis(
                 pos_all, owner[None, :, None], axis=0
-            )[0]
+            )[0].astype(xdt)
             return glob_val, glob_pos, spread
 
         sb_val, sb_pos, spread0 = packed_best_and_spread(

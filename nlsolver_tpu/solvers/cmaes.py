@@ -343,7 +343,12 @@ def minimize_ipop(
         if best is None:
             best = res
         else:
-            keep_new = jnp.asarray(res.f_value < best.f_value)
+            # a NaN stage (e.g. stage 0 sampling into a NaN region) must
+            # never stick: any finite result beats NaN
+            keep_new = jnp.asarray(res.f_value < best.f_value) | (
+                jnp.isnan(jnp.asarray(best.f_value))
+                & ~jnp.isnan(jnp.asarray(res.f_value))
+            )
             merged = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(keep_new, new, old), res, best
             )

@@ -363,3 +363,27 @@ def test_multistart_halton_sampler(key):
             p.fn, x0, method="nelder_mead", restarts=4,
             restart_sampler="sobol",
         )
+
+
+def test_maximize_fleet_with_explicit_fn_cols():
+    """Regression (round-4 review): an explicit fn_cols= bypasses the
+    signed() wrapper, so maximize must negate it itself — on BOTH the
+    fleet and sharded layouts."""
+    from nlsolver_tpu.parallel import make_mesh
+
+    neg_bowl_cols = lambda X: -jnp.sum((X - 1.0) ** 2, axis=0)
+    X0 = jnp.zeros((2, 8))
+    res = nlsolver_tpu.maximize(
+        lambda x: -jnp.sum((x - 1.0) ** 2), X0, method="bfgs",
+        layout="fleet", fn_cols=neg_bowl_cols,
+    )
+    # maximum of the negated bowl is 0 at X=1
+    assert float(jnp.min(res.f_value)) > -1e-6
+    assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-3
+
+    mesh = make_mesh(8, dp=2, pop=4)
+    res_s = nlsolver_tpu.maximize(
+        lambda x: -jnp.sum((x - 1.0) ** 2), X0, method="bfgs",
+        layout="sharded", mesh=mesh, fn_cols=neg_bowl_cols,
+    )
+    assert float(jnp.min(res_s.f_value)) > -1e-6

@@ -181,3 +181,25 @@ def test_ipop_solves_shekel():
         key=jax.random.key(0), max_restarts=4,
     )
     assert float(p.distance_to_nearest_minimum(r.x)) <= 0.05
+
+
+def test_ipop_nan_stage_does_not_stick():
+    """Regression (round-4 review): a NaN stage-0 result must not defeat
+    every later finite restart."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers import cmaes
+
+    calls = {"n": 0}
+
+    def sometimes_nan(x):
+        # NaN basin around the origin start; finite bowl elsewhere
+        base = jnp.sum((x - 2.0) ** 2)
+        return jnp.where(jnp.sum(x * x) < 0.5, jnp.nan, base)
+
+    r = cmaes.minimize_ipop(
+        sometimes_nan, jnp.zeros(2), cmaes.CMAESConfig(max_iter=100),
+        key=jax.random.key(0), max_restarts=3,
+    )
+    assert bool(jnp.isfinite(r.f_value))
