@@ -34,9 +34,18 @@ if not os.environ.get("NLSOLVER_TEST_TPU"):
     jax.config.update("jax_enable_x64", True)
 
 # This box has 2 CPUs; XLA compiles dominate test time. Persist them.
-jax.config.update("jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NLSOLVER_COMPILE_CACHE=0 disables the persistent cache: its zstd
+# serialization can RACE when the suite's subprocess tests (distributed
+# children, the VMEM-fallback child) write the same directory as the
+# parent, which intermittently segfaults inside
+# jax._src.compilation_cache put/get (observed round 4, most likely on a
+# freshly emptied cache when every program is a fresh write).
+if os.environ.get("NLSOLVER_COMPILE_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 

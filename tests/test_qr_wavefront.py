@@ -140,14 +140,18 @@ def test_on_chip_bit_exact_vs_jnp_wavefront():
     assert float(jnp.max(jnp.abs(x - xr))) == 0.0
 
 
-def test_vmem_fallback_to_jnp_wavefront(monkeypatch):
+def test_vmem_fallback_to_jnp_wavefront():
     """Out-of-envelope shapes (review finding: e.g. m=128 with Q, whose
     working set exceeds the scoped-VMEM cap at any legal tile) degrade to
-    the jnp wavefront instead of hanging the remote Mosaic compile —
-    same contract, correct results.  The refusal is asserted at the real
-    cap; the degraded execution path is exercised at a small shape by
-    shrinking the cap (tracing an actual m=128 wavefront is
-    compile-prohibitive on the test box)."""
+    the jnp wavefront instead of hanging the remote Mosaic compile.  The
+    refusal is asserted at the real cap in-process; the degraded
+    EXECUTION runs in a subprocess with NLSOLVER_VMEM_CAP=1 (a shrunken
+    in-process cap segfaulted jax's compile-cache layer when mixed with
+    the full suite's jit state — isolated process, isolated caches)."""
+    import os
+    import subprocess
+    import sys
+
     import nlsolver_tpu.ops.eigh_jacobi as ej
 
     m, n, B = 128, 8, 256
@@ -156,21 +160,33 @@ def test_vmem_fallback_to_jnp_wavefront(monkeypatch):
     # ... while the rhs-threading pipeline (no Q) still fits there
     assert ej.plan_lane_tiles(B, 128, (m * n + m + n) * 4)[2]
 
-    # force the fallback at a cheap shape: shrink the cap below any tile.
-    # The shape must be UNIQUE in this test session — the planner runs at
-    # trace time, so a jit-cache hit from another test would silently
-    # reuse the pallas-path executable
-    monkeypatch.setattr(ej, "VMEM_CAP", 1)
-    m, n, B = 12, 6, 192
-    rng = np.random.default_rng(2)
-    A = batch(rng, m, n, B)
-    y = jnp.asarray(rng.standard_normal((m, B)).astype(np.float32))
-    R, Q = qr_wavefront_pallas(A, compute_q=True, interpret=True)
-    ref = qr_parallel(A)
-    assert R.shape == (m, n, B) and Q.shape == (m, m, B)
-    # same jnp algorithm; jit-context fusion differences allow f32 drift
-    assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
-    assert float(jnp.max(jnp.abs(Q - ref.Q))) < 1e-4
-    x = least_squares_wavefront_pallas(A, y, interpret=True)
-    xr = least_squares_parallel(A, y)
-    assert float(jnp.max(jnp.abs(x - xr))) < 1e-4
+    child = """
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp, numpy as np
+from nlsolver_tpu.ops.qr_wavefront import (
+    least_squares_wavefront_pallas, qr_wavefront_pallas)
+from nlsolver_tpu.linalg.qr_parallel import (
+    least_squares_parallel, qr_parallel)
+m, n, B = 12, 6, 192
+rng = np.random.default_rng(2)
+A = jnp.asarray(rng.standard_normal((m, n, B)).astype(np.float32))
+y = jnp.asarray(rng.standard_normal((m, B)).astype(np.float32))
+R, Q = qr_wavefront_pallas(A, compute_q=True)   # cap=1 -> jnp fallback
+ref = qr_parallel(A)
+assert R.shape == (m, n, B) and Q.shape == (m, m, B)
+assert float(jnp.max(jnp.abs(R - ref.R))) < 1e-4
+assert float(jnp.max(jnp.abs(Q - ref.Q))) < 1e-4
+x = least_squares_wavefront_pallas(A, y)
+xr = least_squares_parallel(A, y)
+assert float(jnp.max(jnp.abs(x - xr))) < 1e-4
+print('FALLBACK_OK')
+"""
+    env = dict(os.environ, NLSOLVER_VMEM_CAP="1", JAX_PLATFORMS="")
+    out = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True,
+        env=env, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "FALLBACK_OK" in out.stdout
