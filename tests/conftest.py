@@ -34,12 +34,16 @@ if not os.environ.get("NLSOLVER_TEST_TPU"):
     jax.config.update("jax_enable_x64", True)
 
 # This box has 2 CPUs; XLA compiles dominate test time. Persist them.
-# NLSOLVER_COMPILE_CACHE=0 disables the persistent cache: its zstd
-# serialization can RACE when the suite's subprocess tests (distributed
-# children, the VMEM-fallback child) write the same directory as the
-# parent, which intermittently segfaults inside
-# jax._src.compilation_cache put/get (observed round 4, most likely on a
-# freshly emptied cache when every program is a fresh write).
+# NLSOLVER_COMPILE_CACHE=0 disables the persistent cache (kept as a
+# diagnostic switch).  Round-4 finding on THIS box: after ~500 fresh
+# XLA:CPU compiles in one process, the next compile can SEGFAULT inside
+# jaxlib native code (reproduced at the same suite position with the
+# cache on [put path], off [backend_compile], and freshly wiped — but
+# never standalone; this box's jaxlib AOT bundle itself warns its
+# machine features mismatch the host).  With a warm persistent cache the
+# suite stays far below that compile count, which is why it normally
+# passes — if the cache is ever emptied, run the suite in two process
+# chunks (tests/test_[a-p]*.py then tests/test_[q-z]*.py) to rebuild it.
 if os.environ.get("NLSOLVER_COMPILE_CACHE", "1") != "0":
     jax.config.update(
         "jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache"
