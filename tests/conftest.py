@@ -34,16 +34,15 @@ if not os.environ.get("NLSOLVER_TEST_TPU"):
     jax.config.update("jax_enable_x64", True)
 
 # This box has 2 CPUs; XLA compiles dominate test time. Persist them.
-# NLSOLVER_COMPILE_CACHE=0 disables the persistent cache (kept as a
-# diagnostic switch).  Round-4 finding on THIS box: after ~500 fresh
-# XLA:CPU compiles in one process, the next compile can SEGFAULT inside
-# jaxlib native code (reproduced at the same suite position with the
-# cache on [put path], off [backend_compile], and freshly wiped — but
-# never standalone; this box's jaxlib AOT bundle itself warns its
-# machine features mismatch the host).  With a warm persistent cache the
-# suite stays far below that compile count, which is why it normally
-# passes — if the cache is ever emptied, run the suite in two process
-# chunks (tests/test_[a-p]*.py then tests/test_[q-z]*.py) to rebuild it.
+# NLSOLVER_COMPILE_CACHE=0 disables the persistent cache (diagnostic
+# switch).  Round-4 finding on THIS box: once ONE process has loaded
+# ~500 XLA:CPU executables (compiled or cache-loaded), the next load can
+# SEGFAULT inside jaxlib native code (reproduced at the same suite
+# position with the cache on, off, and freshly wiped — never
+# standalone; this box's jaxlib AOT bundle itself warns its machine
+# features mismatch the host).  The suite crossed that size in round 4:
+# ALWAYS run it as `pytest -n 2` (pytest-xdist; see CLAUDE.md) so each
+# worker stays under the cliff — which also halves wall-clock.
 if os.environ.get("NLSOLVER_COMPILE_CACHE", "1") != "0":
     jax.config.update(
         "jax_compilation_cache_dir", "/tmp/nlsolver_tpu_jax_cache"
