@@ -377,6 +377,11 @@ def _dispatch(
                 f"strategies), got {method!r}; other methods batch via "
                 f"layout='batched'"
             )
+        if bounds is not None:
+            raise ValueError(
+                "the BFGS fleet is unconstrained; use method='lbfgsb' "
+                "for box constraints"
+            )
         fleet = _METHODS["bfgs_fleet"]
         fn_cols = kwargs.pop("fn_cols", None)
         if fn_cols is None:

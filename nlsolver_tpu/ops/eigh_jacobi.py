@@ -100,9 +100,7 @@ def _kernel(A_ref, out_w_ref, out_v_ref, *, n, sweeps, schedule):
 #: rejected at 19.47 MB — which calibrates the per-lane working set at
 #: ~9.3x the A-block bytes, not the naive 3x); budget 14 MB through a
 #: conservative 10x multiplier.
-VMEM_CAP = int(__import__("os").environ.get(
-    "NLSOLVER_VMEM_CAP", str(14 * 1024 * 1024)
-))  # env override exists for the subprocess fallback test
+VMEM_CAP = 14 * 1024 * 1024
 _WORKSET_MULT = 10
 
 

@@ -387,3 +387,14 @@ def test_maximize_fleet_with_explicit_fn_cols():
         layout="sharded", mesh=mesh, fn_cols=neg_bowl_cols,
     )
     assert float(jnp.min(res_s.f_value)) > -1e-6
+
+    # bounds are rejected loudly on BOTH fleet layouts (round-4 review:
+    # the fleet path used to drop them silently)
+    from nlsolver_tpu.core import Bounds
+
+    for extra in (dict(layout="fleet"), dict(layout="sharded", mesh=mesh)):
+        with pytest.raises(ValueError, match="unconstrained"):
+            nlsolver_tpu.minimize(
+                lambda x: jnp.sum(x * x), X0, method="bfgs",
+                bounds=Bounds(jnp.asarray(-1.0), jnp.asarray(1.0)), **extra,
+            )

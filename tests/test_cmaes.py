@@ -186,12 +186,7 @@ def test_ipop_solves_shekel():
 def test_ipop_nan_stage_does_not_stick():
     """Regression (round-4 review): a NaN stage-0 result must not defeat
     every later finite restart."""
-    import jax
-    import jax.numpy as jnp
-
     from nlsolver_tpu.solvers import cmaes
-
-    calls = {"n": 0}
 
     def sometimes_nan(x):
         # NaN basin around the origin start; finite bowl elsewhere

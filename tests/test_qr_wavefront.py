@@ -145,9 +145,10 @@ def test_vmem_fallback_to_jnp_wavefront():
     working set exceeds the scoped-VMEM cap at any legal tile) degrade to
     the jnp wavefront instead of hanging the remote Mosaic compile.  The
     refusal is asserted at the real cap in-process; the degraded
-    EXECUTION runs in a subprocess with NLSOLVER_VMEM_CAP=1 (a shrunken
-    in-process cap segfaulted jax's compile-cache layer when mixed with
-    the full suite's jit state — isolated process, isolated caches)."""
+    EXECUTION runs in a subprocess that shrinks the planner cap by
+    module attribute (a shrunken in-process cap segfaulted jax's
+    compile-cache layer when mixed with the full suite's jit state —
+    isolated process, isolated caches)."""
     import os
     import subprocess
     import sys
@@ -164,6 +165,8 @@ def test_vmem_fallback_to_jnp_wavefront():
 import jax
 jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp, numpy as np
+import nlsolver_tpu.ops.eigh_jacobi as ej
+ej.VMEM_CAP = 1          # force the fallback for every shape
 from nlsolver_tpu.ops.qr_wavefront import (
     least_squares_wavefront_pallas, qr_wavefront_pallas)
 from nlsolver_tpu.linalg.qr_parallel import (
@@ -182,7 +185,7 @@ xr = least_squares_parallel(A, y)
 assert float(jnp.max(jnp.abs(x - xr))) < 1e-4
 print('FALLBACK_OK')
 """
-    env = dict(os.environ, NLSOLVER_VMEM_CAP="1", JAX_PLATFORMS="")
+    env = dict(os.environ, JAX_PLATFORMS="")
     out = subprocess.run(
         [sys.executable, "-c", child], capture_output=True, text=True,
         env=env, timeout=300,
