@@ -16,8 +16,9 @@ The TPU-first flagships are reachable through the same entry point via the
 ``layout`` switch:
 
     * ``layout="single"`` (default) — one problem instance;
-    * ``layout="batched"`` — ``x0`` is ``[B, n]``; DE uses the lane-axis
-      ``de_batched`` engine, every other method is ``vmap``-ped;
+    * ``layout="batched"`` — ``x0`` is ``[B, n]``; DE/PSO/SANN use the
+      lane-axis engines (``de_batched`` / ``pso_batched`` /
+      ``sann_batched``), every other method is ``vmap``-ped;
     * ``layout="fleet"`` — batch-minor ``[n, B]`` lane fleets
       (``method="bfgs"`` -> ``solvers.bfgs_fleet``);
     * ``layout="sharded"`` — engines over a device ``mesh``:
@@ -343,6 +344,20 @@ def _dispatch(
             cfg = config if config is not None else _METHODS["de"].DEConfig()
             return de_batched.minimize_batched(
                 fn, x0, cfg, keys=keys, _minimize=_minimize, **kwargs
+            )
+        if method in ("pso", "pso_batched"):
+            from .solvers import pso_batched
+
+            cfg = config if config is not None else _METHODS["pso"].PSOConfig()
+            return pso_batched.minimize_batched(
+                fn, x0, cfg, bounds, keys=keys, _minimize=_minimize, **kwargs
+            )
+        if method in ("sann", "sann_batched"):
+            from .solvers import sann_batched
+
+            cfg = config if config is not None else _METHODS["sann"].SANNConfig()
+            return sann_batched.minimize_batched(
+                fn, x0, cfg, bounds, keys=keys, _minimize=_minimize, **kwargs
             )
         if bounds is not None:
             kwargs = dict(kwargs, bounds=bounds)

@@ -144,49 +144,92 @@ def bench_de_batched(
     }
 
 
-def bench_pso_sann_100d(B=256, dim=100, iters=200, runs=5):
-    """Config #3: vmapped PSO + SANN swarms on 100-D Rastrigin/Ackley."""
+def bench_pso_sann_100d(B=256, dim=100, iters=200, runs=5, fast: bool = True):
+    """Config #3: PSO + SANN fleets on 100-D Rastrigin/Ackley.
+
+    ``fast=True`` (default) runs the lane-axis fleet engines
+    (solvers/pso_batched.py, solvers/sann_batched.py: instance batch on
+    the 128-lane axis, gather-free swarm-best) with rbg keys;
+    ``fast=False`` measures the round-4 row-layout vmapped drivers, whose
+    per-instance ``positions[argmin]`` gather regresses past B~2048
+    (BENCH_ALL_r04 saturation) — kept as the A/B."""
+    from ..solvers import pso_batched as psb, sann_batched as snb
+
     out = {}
+    impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
     for pname in ("rastrigin", "ackley"):
         fn = PROBLEMS[pname].fn
         cfg = pso.PSOConfig(n_particles=32, max_iter=1 << 30, best_value_no_change=1 << 30, eps=0.0)
-        keys = jax.random.split(jax.random.key(0), B)
-        x0 = jnp.full((dim,), -0.5, jnp.float32)
-        lower, upper = -jnp.abs(x0), jnp.abs(x0)
+        keys = jax.random.split(jax.random.key(0, impl=impl), B)
+        if fast:
+            x0b = jnp.full((B, dim), -0.5, jnp.float32)
 
-        @jax.jit
-        def run(keys):
-            states = jax.vmap(lambda k: pso.init(fn, x0, cfg, k, lower, upper))(keys)
-            final = drive_scan(
-                jax.vmap(lambda s: pso.step(fn, s, cfg, lower, upper, False)),
-                states,
-                iters,
-            )
-            return final.swarm_best_value
+            @jax.jit
+            def run(x0b, keys):
+                lower, upper = psb._derived_bounds(x0b.T)
+                state = psb.init(fn, x0b, cfg, keys, lower, upper)
+                final = psb.drive_fleet_scan(
+                    lambda s: psb.step(fn, s, cfg), state, iters
+                )
+                return final.swarm_best_value
 
-        med, _ = _timed(lambda: run(keys), runs)
+            med, _ = _timed(lambda: run(x0b, keys), runs)
+        else:
+            x0 = jnp.full((dim,), -0.5, jnp.float32)
+            lower, upper = -jnp.abs(x0), jnp.abs(x0)
+
+            @jax.jit
+            def run(keys):
+                states = jax.vmap(lambda k: pso.init(fn, x0, cfg, k, lower, upper))(keys)
+                final = drive_scan(
+                    jax.vmap(lambda s: pso.step(fn, s, cfg, lower, upper, False)),
+                    states,
+                    iters,
+                )
+                return final.swarm_best_value
+
+            med, _ = _timed(lambda: run(keys), runs)
         out[f"pso_{pname}_100d_iters_per_sec"] = B * iters / med
 
     scfg = sann.SANNConfig(max_iter=1 << 30)
-    keys = jax.random.split(jax.random.key(0), B)
-    x0 = jnp.full((dim,), -0.5, jnp.float32)
+    keys = jax.random.split(jax.random.key(0, impl=impl), B)
     fn = PROBLEMS["rastrigin"].fn
+    if fast:
+        x0b = jnp.full((B, dim), -0.5, jnp.float32)
 
-    @jax.jit
-    def run_sann(keys):
-        states = jax.vmap(lambda k: sann.init(fn, x0, scfg, k))(keys)
-        final = drive_scan(jax.vmap(lambda s: sann.step(fn, s, scfg)), states, iters)
-        return final.best_value
+        @jax.jit
+        def run_sann(x0b, keys):
+            state = snb.init(fn, x0b, scfg, keys)
+            final = snb.drive_fleet_scan(
+                lambda s: snb.step(fn, s, scfg), state, iters
+            )
+            return final.best_value
 
-    med, _ = _timed(lambda: run_sann(keys), runs)
+        med, _ = _timed(lambda: run_sann(x0b, keys), runs)
+    else:
+        x0 = jnp.full((dim,), -0.5, jnp.float32)
+
+        @jax.jit
+        def run_sann(keys):
+            states = jax.vmap(lambda k: sann.init(fn, x0, scfg, k))(keys)
+            final = drive_scan(jax.vmap(lambda s: sann.step(fn, s, scfg)), states, iters)
+            return final.best_value
+
+        med, _ = _timed(lambda: run_sann(keys), runs)
     out["sann_rastrigin_100d_iters_per_sec"] = B * iters / med
-    out["name"] = "pso_sann_100d"
+    out["name"] = "pso_sann_100d" + ("_fast" if fast else "_row")
     out["instances"] = B
+    out["engine"] = "lane_fleet" if fast else "row_vmap"
     # PSO rastrigin: 32 particles x 100 dims x one cos per element per gen
     out["model_gtrans_per_sec"] = (
         B * 32 * dim * out["pso_rastrigin_100d_iters_per_sec"] / B / 1e9
     )
-    out["bound"] = "VPU transcendental (objective eval) at this modest batch"
+    # SANN rastrigin: (temperature_iter-1)=9 sequential proposals per
+    # outer iteration, each B x dim cos
+    out["sann_model_gtrans_per_sec"] = (
+        9 * dim * out["sann_rastrigin_100d_iters_per_sec"] / 1e9
+    )
+    out["bound"] = "VPU transcendental (objective eval)"
     return out
 
 
@@ -296,7 +339,14 @@ def bench_rootfinder_batch(B=100000, runs=5):
 
 
 def bench_lm_fleet(B=4096, m=32, runs=5):
-    """Config #5: batched nonlinear least-squares fits (exp decay curves)."""
+    """Config #5: batched nonlinear least-squares fits (exp decay curves).
+
+    Headline ``fits_per_sec`` rides the flagship batch-minor NLLS fleet
+    (solvers/nlls_fleet.py, qr_pallas backend on TPU — the round-4
+    1.52x end-to-end winner); the round-3 vmapped scalar driver is kept
+    as ``vmapped_scalar_fits_per_sec`` for the A/B (round-4 verdict #4)."""
+    from ..solvers import nlls_fleet as nf
+
     key = jax.random.key(0)
     t = jnp.linspace(0.0, 2.0, m, dtype=jnp.float32)
     k1, k2 = jax.random.split(key)
@@ -311,15 +361,25 @@ def bench_lm_fleet(B=4096, m=32, runs=5):
     run = jax.jit(
         lambda: nlls_mod.fit_batched(residual, jnp.ones((B, 2), jnp.float32), cfg, data=ys)
     )
-    med, _ = _timed(lambda: run().x, runs)
-    res = run()
+    med_v, _ = _timed(lambda: run().x, runs)
+
+    solve = "qr_pallas" if jax.default_backend() == "tpu" else "cholesky"
+    fcfg = nf.NLLSFleetConfig(max_iter=30, solve=solve)
+    run_f = jax.jit(
+        lambda: nf.fit_fleet(residual, jnp.ones((2, B), jnp.float32), fcfg, data=ys)
+    )
+    med, _ = _timed(lambda: run_f().x, runs)
+    res = run_f()
     # per trip: residual + 2-col Jacobian = ~3 exp evaluations of [B, m]
     trips = int(jnp.max(res.iterations))
     return {
         "name": "lm_fleet",
         "instances": B,
+        "engine": f"nlls_fleet[{solve}]",
         "median_ms": med * 1e3,
         "fits_per_sec": B / med,
+        "vmapped_scalar_fits_per_sec": B / med_v,
+        "fleet_speedup_vs_vmapped": med_v / med,
         "solved_frac": float(jnp.mean(res.f_value < 1e-6)),
         "model_gtrans_per_sec": trips * 3 * B * m / med / 1e9,
         "bound": "VPU transcendental (exp in residual+Jacobian) + small-matrix latency",
@@ -756,6 +816,58 @@ def bench_nlls_fleet(B=16384, m=32, runs=3):
     return out
 
 
+def bench_latency_single(runs=5, chain=64):
+    """Round-4 verdict #7: ON-CHIP per-solve latency for single instances
+    of NM, DE, and BFGS (the head-to-head caveat made a number).
+
+    A lone solve over the tunnel is ~25 ms of dispatch/fetch RTT; each
+    metric here chains ``chain`` *dependent* solves inside one program
+    (every restart point derives from the previous solution), so the
+    reported us/solve is true device latency including all solver
+    iterations, not the tunnel."""
+    from jax import lax
+
+    p = PROBLEMS["rosenbrock"]
+    x0 = jnp.full((2,), -0.5, jnp.float32)
+    out = {"name": "latency_single", "chain": chain}
+
+    def measure(solve, tag):
+        @jax.jit
+        def run(x0):
+            def body(x, i):
+                res = solve(x, i)
+                return res.x + 0.5 * jnp.sin(i + res.x), res.f_value
+
+            _, fs = lax.scan(body, x0, jnp.arange(chain, dtype=jnp.float32))
+            return fs
+
+        med, _ = _timed(lambda: run(x0), runs)
+        out[f"{tag}_solve_time_us"] = med * 1e6 / chain
+        res = solve(x0, jnp.float32(0.0))
+        out[f"{tag}_iterations"] = int(res.iterations)
+        out[f"{tag}_us_per_iteration"] = (
+            med * 1e6 / chain / max(int(res.iterations), 1)
+        )
+
+    nm_cfg = nelder_mead.NelderMeadConfig()
+    measure(lambda x, i: nelder_mead.minimize(p.fn, x, nm_cfg), "nm")
+    de_cfg = de.DEConfig(pop_size=32, max_iter=100)
+    de_key = jax.random.key(0)
+    measure(
+        lambda x, i: de.minimize(
+            p.fn, x, de_cfg, key=jax.random.fold_in(de_key, i.astype(jnp.int32))
+        ),
+        "de",
+    )
+    bfgs_cfg = bfgs.BFGSConfig(max_iter=50)
+    measure(lambda x, i: bfgs.minimize(p.fn, x, bfgs_cfg), "bfgs")
+    out["bound"] = (
+        "sequential iteration latency (while_loop trip + objective eval "
+        "round-trips through VPU); single instance leaves the chip idle"
+    )
+    return out
+
+
 def _knee(rows, bkey, tkey, frac=0.8):
     """Smallest batch whose throughput reaches ``frac`` of the sweep's
     best — the saturation knee the round-3 verdict asked to be measured
@@ -831,22 +943,52 @@ def bench_saturation(runs=3):
         "rows": rows, "knee_B": kb, "knee_brent_roots_per_sec": kt,
     }
 
-    # --- 100-D PSO/SANN -------------------------------------------------
+    # --- 100-D PSO/SANN: lane-fleet engines vs the row drivers ----------
     rows = []
-    for B in (256, 2048, 8192):
-        r = bench_pso_sann_100d(B=B, runs=runs)
-        rows.append({
-            "B": B,
+    for B in (256, 2048, 8192, 32768):
+        r = bench_pso_sann_100d(B=B, runs=runs, fast=True)
+        row = {
+            "B": B, "engine": "lane_fleet",
             "pso_rastrigin_iters_per_sec": r["pso_rastrigin_100d_iters_per_sec"],
             "sann_iters_per_sec": r["sann_rastrigin_100d_iters_per_sec"],
             "model_gtrans_per_sec": r["model_gtrans_per_sec"],
-        })
+            "sann_model_gtrans_per_sec": r["sann_model_gtrans_per_sec"],
+        }
+        if B <= 8192:  # the round-4 row engine A/B (incl. its regression point)
+            rr = bench_pso_sann_100d(B=B, runs=runs, fast=False)
+            row["row_pso_iters_per_sec"] = rr["pso_rastrigin_100d_iters_per_sec"]
+            row["row_sann_iters_per_sec"] = rr["sann_rastrigin_100d_iters_per_sec"]
+        rows.append(row)
     kb, kt, _ = _knee(rows, "B", "pso_rastrigin_iters_per_sec")
     out["sweeps"]["pso_sann_100d"] = {
         "rows": rows, "knee_B": kb, "knee_pso_iters_per_sec": kt,
         "knee_pct_of_cos_ceiling": 100 * next(
             r["model_gtrans_per_sec"] for r in rows if r["B"] == kb
         ) / 40.0,
+    }
+    kbs, kts, _ = _knee(rows, "B", "sann_iters_per_sec")
+    out["sweeps"]["pso_sann_100d"]["sann_knee_B"] = kbs
+    out["sweeps"]["pso_sann_100d"]["sann_knee_iters_per_sec"] = kts
+    out["sweeps"]["pso_sann_100d"]["sann_knee_pct_of_cos_ceiling"] = 100 * next(
+        r["sann_model_gtrans_per_sec"] for r in rows if r["B"] == kbs
+    ) / 40.0
+
+    # --- NLLS fleet (the flagship config-#5 engine): find its knee ------
+    rows = []
+    for B in (4096, 16384, 65536, 262144):
+        r = bench_nlls_fleet(B=B, runs=runs)
+        best_key = max(
+            (k for k in r if k.endswith("_fits_per_sec")), key=lambda k: r[k]
+        )
+        rows.append({
+            "B": B,
+            "vmapped_scalar_fits_per_sec": r["vmapped_scalar_fits_per_sec"],
+            "best_backend": best_key.replace("_fits_per_sec", ""),
+            "best_fits_per_sec": r[best_key],
+        })
+    kb, kt, _ = _knee(rows, "B", "best_fits_per_sec")
+    out["sweeps"]["nlls_fleet"] = {
+        "rows": rows, "knee_B": kb, "knee_fits_per_sec": kt,
     }
     return out
 
@@ -863,5 +1005,6 @@ ALL_BENCHES = {
     "cmaes_fleet": bench_cmaes_fleet,
     "qr_batched": bench_qr_batched,
     "nlls_fleet": bench_nlls_fleet,
+    "latency_single": bench_latency_single,
     "saturation": bench_saturation,
 }

@@ -1,0 +1,263 @@
+"""High-throughput batched PSO, batch-minor (lane-axis) layout.
+
+The general-purpose ``solvers.pso`` stores the swarm as ``[P, n]`` rows;
+vmapping it over B problem instances puts ``dim`` on the TPU lane axis and
+turns the per-instance swarm-best extraction (``positions[argmin]``) into a
+vmapped dynamic-slice — a [B]-indexed gather from an ``[B, P, n]`` array
+that XLA lowers poorly and that measurably *regresses* past B≈2048
+(BENCH_ALL_r04 saturation.pso_sann_100d: 2.14M → 1.88M iters/s from
+B=2048 to B=8192).  This driver is the TPU-first redesign for large fleets
+(round-4 verdict #1), mirroring ``solvers/de_batched.py``:
+
+  * the fleet lives as ``[n, P, B]`` — the INSTANCE batch on the 128-lane
+    axis (always thousands wide, so lanes never pad; a ``[B, n, P]``
+    layout would pad the BASELINE swarm of P=32 to 128 lanes, wasting 4x),
+    particles on sublanes, coordinates leading;
+  * every update is elementwise over the full ``[n, P, B]`` block; the
+    swarm-best extraction is gather-free: an ``argmin``-vs-``iota`` one-hot
+    mask and a reduction over the particle axis;
+  * objectives are evaluated column-wise (nested ``vmap``), so a
+    reduction-over-coordinates objective reduces over the LEADING axis with
+    particles x instances vectorized behind it.
+
+Semantics are identical to ``solvers.pso`` (the fixed vanilla/accelerated
+updates, derived +/-|x_i| init bounds, particle-best-spread termination —
+nlsolver.h:2496-2742 with the documented reference-bug fixes); only the
+execution layout differs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Bounds, SolverResult, make_result, signed, std_err
+from .pso import PSOConfig
+
+
+class PSOBatchState(NamedTuple):
+    positions: jax.Array        # [n, P, B] batch-minor
+    velocities: jax.Array       # [n, P, B]
+    best_positions: jax.Array   # [n, P, B] per-particle best
+    best_values: jax.Array      # [P, B]
+    swarm_best_position: jax.Array  # [n, B]
+    swarm_best_value: jax.Array     # [B]
+    iteration: jax.Array        # [B]
+    nfev: jax.Array             # [B]
+    val_no_change: jax.Array    # [B]
+    keys: jax.Array             # [B]
+    done: jax.Array             # [B]
+    converged: jax.Array        # [B]
+
+
+def _eval_cols(fn, A):  # A: [n, P, B] -> [P, B]
+    return jax.vmap(jax.vmap(fn, in_axes=1), in_axes=2, out_axes=1)(A)
+
+
+def _derived_bounds(x0_cols: jax.Array):
+    """Per-instance +/-|x_i| bounds (nlsolver.h:2554-2560). x0_cols: [n, B]."""
+    t = jnp.abs(x0_cols)
+    return -t, t
+
+
+def init(
+    fn,
+    x0: jax.Array,              # [B, n]
+    config: PSOConfig,
+    keys: jax.Array,            # [B]
+    lower: jax.Array,           # [n, B]
+    upper: jax.Array,           # [n, B]
+) -> PSOBatchState:
+    B, n = x0.shape
+    P = config.n_particles
+    dtype = x0.dtype
+
+    def init_one(key, lo, hi):  # lo/hi: [n]
+        key, k_pos, k_vel = jax.random.split(key, 3)
+        u = jax.random.uniform(k_pos, (n, P), dtype=dtype)
+        pos = lo[:, None] + (hi - lo)[:, None] * u
+        span = jnp.abs(hi - lo)
+        uv = jax.random.uniform(k_vel, (n, P), dtype=dtype)
+        vel = span[:, None] * (2.0 * uv - 1.0)  # symmetric (see pso.init)
+        return pos, vel, key
+
+    positions, velocities, keys = jax.vmap(
+        init_one, in_axes=(0, 1, 1), out_axes=(-1, -1, 0)
+    )(keys, lower, upper)
+
+    values = _eval_cols(fn, positions)          # [P, B]
+    idx = jnp.argmin(values, axis=0)            # [B]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (P, B), 0) == idx[None, :]
+    )
+    swarm_best_position = jnp.sum(
+        jnp.where(onehot[None, :, :], positions, 0.0), axis=1
+    )                                           # [n, B]
+    zeros = jnp.zeros((B,), jnp.int32)
+    return PSOBatchState(
+        positions=positions,
+        velocities=velocities,
+        best_positions=positions,
+        best_values=values,
+        swarm_best_position=swarm_best_position,
+        swarm_best_value=jnp.min(values, axis=0),
+        iteration=zeros,
+        nfev=jnp.full((B,), P, jnp.int32),
+        val_no_change=zeros,
+        keys=keys,
+        done=jnp.zeros((B,), bool),
+        converged=jnp.zeros((B,), bool),
+    )
+
+
+def step(
+    fn,
+    state: PSOBatchState,
+    config: PSOConfig,
+    lower: Optional[jax.Array] = None,   # [n, B], only used when clamping
+    upper: Optional[jax.Array] = None,
+    clamp_positions: bool = False,
+) -> PSOBatchState:
+    n, P, B = state.positions.shape
+    dtype = state.positions.dtype
+
+    hit_tol = (state.val_no_change >= config.best_value_no_change) | (
+        std_err(state.best_values, axis=0) < config.eps
+    )
+    done_now = (state.iteration >= config.max_iter) | hit_tol
+
+    def draw2(key):
+        k1, k2, key = jax.random.split(key, 3)
+        if config.accelerated:
+            a = jax.random.normal(k1, (n, P), dtype)
+            b = jnp.zeros((0,), dtype)  # unused
+        else:
+            a = jax.random.uniform(k1, (n, P), dtype=dtype)
+            b = jax.random.uniform(k2, (n, P), dtype=dtype)
+        return a, b, key
+
+    ra, rb, keys = jax.vmap(draw2, out_axes=(-1, -1, 0))(state.keys)
+
+    if config.accelerated:
+        # inertia = inertia0^iter, per instance (nlsolver.h:2613)
+        w = jnp.asarray(config.inertia, dtype) ** state.iteration.astype(dtype)
+        new_positions = (
+            w[None, None, :] * ra
+            + (1.0 - config.cognitive_coef) * state.positions
+            + config.social_coef * state.swarm_best_position[:, None, :]
+        )
+        new_velocities = state.velocities
+    else:
+        new_velocities = (
+            config.inertia * state.velocities
+            + config.cognitive_coef * ra * (state.best_positions - state.positions)
+            + config.social_coef
+            * rb
+            * (state.swarm_best_position[:, None, :] - state.positions)
+        )
+        new_positions = state.positions + new_velocities
+
+    if clamp_positions:
+        new_positions = jnp.clip(
+            new_positions, lower[:, None, :], upper[:, None, :]
+        )
+
+    values = _eval_cols(fn, new_positions)      # [P, B]
+    improved_particle = values < state.best_values
+    best_values = jnp.where(improved_particle, values, state.best_values)
+    best_positions = jnp.where(
+        improved_particle[None, :, :], new_positions, state.best_positions
+    )
+
+    # gather-free swarm-best: one-hot(argmin) mask + particle-axis reduce
+    idx = jnp.argmin(values, axis=0)            # [B]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (P, B), 0) == idx[None, :]
+    )
+    cand_val = jnp.min(values, axis=0)          # [B]
+    cand_pos = jnp.sum(jnp.where(onehot[None, :, :], new_positions, 0.0), axis=1)
+    swarm_improved = cand_val < state.swarm_best_value
+    swarm_best_value = jnp.where(
+        swarm_improved, cand_val, state.swarm_best_value
+    )
+    swarm_best_position = jnp.where(
+        swarm_improved[None, :], cand_pos, state.swarm_best_position
+    )
+    val_no_change = jnp.where(swarm_improved, 0, state.val_no_change + 1)
+
+    frozen = state.done | done_now
+
+    def keep(old, new):
+        m = frozen
+        while m.ndim < new.ndim:
+            m = m[None, ...]
+        return jnp.where(m, old, new)
+
+    return PSOBatchState(
+        positions=keep(state.positions, new_positions),
+        velocities=keep(state.velocities, new_velocities),
+        best_positions=keep(state.best_positions, best_positions),
+        best_values=keep(state.best_values, best_values),
+        swarm_best_position=keep(state.swarm_best_position, swarm_best_position),
+        swarm_best_value=keep(state.swarm_best_value, swarm_best_value),
+        iteration=keep(state.iteration, state.iteration + 1),
+        nfev=keep(state.nfev, state.nfev + P),
+        val_no_change=keep(state.val_no_change, val_no_change),
+        keys=keep(state.keys, keys),
+        done=state.done | done_now,
+        converged=jnp.where(state.done, state.converged, hit_tol),
+    )
+
+
+def drive_fleet_scan(step_fn, state: PSOBatchState, trips: int) -> PSOBatchState:
+    """Fixed-trip driver (benches): lane freezing happens inside step(),
+    so no tree_where wrapper is needed (the core ``drive_scan``'s assumes
+    leading-batch layouts; this fleet is batch-minor)."""
+    from jax import lax
+
+    final, _ = lax.scan(lambda s, _: (step_fn(s), None), state, None, length=trips)
+    return final
+
+
+def _finalize(state: PSOBatchState, flip_sign: bool) -> SolverResult:
+    f = state.swarm_best_value
+    return make_result(
+        x=state.swarm_best_position.T,     # [B, n]
+        f_value=-f if flip_sign else f,
+        iterations=state.iteration,
+        function_calls=state.nfev,
+        converged=state.converged,
+    )
+
+
+def minimize_batched(
+    fn,
+    x0: jax.Array,                 # [B, n]
+    config: PSOConfig = PSOConfig(),
+    bounds: Optional[Bounds] = None,
+    *,
+    keys: Optional[jax.Array] = None,
+    _minimize: bool = True,
+) -> SolverResult:
+    if keys is None:
+        keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    sfn = signed(fn, _minimize)
+    x0_cols = x0.T                              # [n, B]
+    if bounds is None:
+        lower, upper = _derived_bounds(x0_cols)
+        clamp = False                           # init-only (nlsolver.h:2562)
+    else:
+        lower = jnp.broadcast_to(jnp.asarray(bounds.lower, x0.dtype), x0.shape).T
+        upper = jnp.broadcast_to(jnp.asarray(bounds.upper, x0.dtype), x0.shape).T
+        clamp = True
+    state = init(sfn, x0, config, keys, lower, upper)
+
+    from jax import lax
+
+    state = lax.while_loop(
+        lambda s: ~jnp.all(s.done),
+        lambda s: step(sfn, s, config, lower, upper, clamp),
+        state,
+    )
+    return _finalize(state, flip_sign=not _minimize)

@@ -75,6 +75,30 @@ def test_layout_batched_de(key):
     assert float(jnp.median(res.f_value)) < 1e-2
 
 
+def test_layout_batched_pso_sann(key):
+    """layout='batched' reaches the lane-axis PSO/SANN fleet engines."""
+    sphere = lambda x: jnp.sum(x * x)
+    x0 = jnp.full((16, 2), -0.5)
+    keys = jax.random.split(key, 16)
+    res = jax.jit(
+        lambda x0, keys: nlsolver_tpu.minimize(
+            sphere, x0, method="pso", layout="batched", keys=keys,
+        )
+    )(x0, keys)
+    assert res.x.shape == (16, 2)
+    assert float(jnp.median(res.f_value)) < 1e-2
+    from nlsolver_tpu.solvers.sann import SANNConfig
+
+    res = jax.jit(
+        lambda x0, keys: nlsolver_tpu.minimize(
+            sphere, x0, method="sann", layout="batched",
+            config=SANNConfig(max_iter=500), keys=keys,
+        )
+    )(x0, keys)
+    assert res.x.shape == (16, 2)
+    assert float(jnp.median(res.f_value)) < 1e-2
+
+
 def test_layout_batched_vmap_fallback():
     """Non-DE methods batch via vmap under the same switch."""
     x0 = jnp.tile(jnp.asarray([-0.5, -0.5]), (8, 1))

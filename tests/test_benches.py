@@ -36,6 +36,25 @@ def test_lm_fleet_smoke():
     out = benches.bench_lm_fleet(B=16, m=8, runs=1)
     assert out["solved_frac"] > 0.9
     assert "model_gtrans_per_sec" in out
+    # the headline now rides the batch-minor fleet; the vmapped scalar
+    # driver stays as the A/B
+    assert out["engine"].startswith("nlls_fleet")
+    assert out["vmapped_scalar_fits_per_sec"] > 0
+
+
+def test_pso_sann_100d_smoke():
+    for fast in (True, False):
+        out = benches.bench_pso_sann_100d(B=8, dim=4, iters=2, runs=1, fast=fast)
+        assert out["pso_rastrigin_100d_iters_per_sec"] > 0
+        assert out["sann_rastrigin_100d_iters_per_sec"] > 0
+        assert out["engine"] == ("lane_fleet" if fast else "row_vmap")
+
+
+def test_latency_single_smoke():
+    out = benches.bench_latency_single(runs=1, chain=2)
+    for tag in ("nm", "de", "bfgs"):
+        assert out[f"{tag}_solve_time_us"] > 0
+        assert out[f"{tag}_iterations"] > 0
 
 
 def test_eigh_batched_smoke():
