@@ -224,12 +224,28 @@ def bench_pso_sann_100d(B=256, dim=100, iters=200, runs=5, fast: bool = True):
     out["model_gtrans_per_sec"] = (
         B * 32 * dim * out["pso_rastrigin_100d_iters_per_sec"] / B / 1e9
     )
+    # PSO HBM model: at dim=100 x 32 particles the per-gen state traffic
+    # dominates (unlike 10-D DE).  Streams per generation over [n, P, B]
+    # f32: positions r+w, velocities r+w, best_positions r+w, plus the
+    # two uniform draws materialized+consumed (~4) and the eval read = ~11.
+    out["model_gbps"] = (
+        11 * dim * 32 * 4 * out["pso_rastrigin_100d_iters_per_sec"] / 1e9
+    )
     # SANN rastrigin: (temperature_iter-1)=9 sequential proposals per
-    # outer iteration, each B x dim cos
+    # outer iteration, each B x dim cos — PLUS ~3 transcendental-class ops
+    # per Box-Muller normal (log/sqrt/sincos), n x B normals per proposal,
+    # so the true VPU transcendental issue is ~4x the objective-only model
     out["sann_model_gtrans_per_sec"] = (
         9 * dim * out["sann_rastrigin_100d_iters_per_sec"] / 1e9
     )
-    out["bound"] = "VPU transcendental (objective eval)"
+    out["sann_model_gtrans_per_sec_incl_rng"] = (
+        4 * out["sann_model_gtrans_per_sec"]
+    )
+    out["bound"] = (
+        "PSO: HBM state streaming (100-D x 32-particle fleet state; "
+        "%-of-stream is the binding roofline, not cos); SANN: VPU "
+        "transcendental issue incl. Box-Muller RNG"
+    )
     return out
 
 

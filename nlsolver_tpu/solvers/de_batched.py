@@ -191,26 +191,22 @@ def step(fn, state: DEBatchState, config: DEConfig) -> DEBatchState:
             lambda key, A, s: propose(key, A, s, dummy)
         )(state.keys, state.agents, state.scores)
     prop_scores = _eval_columns(fn, proposals)
-    accept = prop_scores < state.scores                     # [B, P]
+    # fold the active-lane freeze INTO the greedy-selection mask: a
+    # separate keep() pass after the select would re-stream agents/scores
+    # a second time through HBM (measured win on the [n, P, B] PSO fleet)
+    act = ~(state.done | done_now)                          # [B]
+    accept = (prop_scores < state.scores) & act[:, None]    # [B, P]
     new_agents = jnp.where(accept[:, None, :], proposals, state.agents)
     new_scores = jnp.where(accept, prop_scores, state.scores)
 
-    frozen = state.done | done_now
-
-    def keep(old, new):
-        m = frozen
-        while m.ndim < new.ndim:
-            m = m[..., None]
-        return jnp.where(m, old, new)
-
     return DEBatchState(
-        agents=keep(state.agents, new_agents),
-        scores=keep(state.scores, new_scores),
+        agents=new_agents,
+        scores=new_scores,
         best_value=best_now,
-        iteration=keep(state.iteration, state.iteration + 1),
-        nfev=keep(state.nfev, state.nfev + P),
+        iteration=state.iteration + act.astype(jnp.int32),
+        nfev=state.nfev + P * act.astype(jnp.int32),
         val_no_change=val_no_change,
-        keys=keep(state.keys, keys),
+        keys=jnp.where(act, keys, state.keys),
         done=state.done | done_now,
         converged=jnp.where(state.done, state.converged, hit_tol),
     )
