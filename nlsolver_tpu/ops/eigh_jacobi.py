@@ -104,19 +104,38 @@ VMEM_CAP = 14 * 1024 * 1024
 _WORKSET_MULT = 10
 
 
-def plan_lane_tiles(B: int, tile: int, resident_bytes_per_lane: int):
+def plan_lane_tiles(B: int, tile: int, resident_bytes_per_lane: int,
+                    mult: float | None = None, cap: int | None = None):
     """Shared lane-tile planner for VMEM-resident batch-minor kernels
     (this eigensolver and ops/qr_wavefront.py): the Mosaic lane rule
     (trailing block dim a multiple of 128 or == B) plus the scoped-VMEM
-    budget (``_WORKSET_MULT`` x the per-lane resident block bytes).
-    Returns (tile, padded_B, fits)."""
-    need = _WORKSET_MULT * resident_bytes_per_lane
+    budget (``mult`` x the per-lane resident block bytes, default the
+    conservative ``_WORKSET_MULT``/``VMEM_CAP``; a kernel with a measured
+    multiplier may pass its own calibration).  Returns
+    (tile, padded_B, fits)."""
+    # resolve at call time so tests can shrink the module-level cap
+    if mult is None:
+        mult = _WORKSET_MULT
+    if cap is None:
+        cap = VMEM_CAP
+    need = int(mult * resident_bytes_per_lane)
     if B < 128:
-        return B, B, need * B < VMEM_CAP
+        return B, B, need * B < cap
     tile = max(128, min(tile, B) // 128 * 128)
-    while tile > 128 and need * tile >= VMEM_CAP:
+    while tile > 128 and need * tile >= cap:
         tile = (tile // 2) // 128 * 128
-    return tile, B + (-B) % tile, need * tile < VMEM_CAP
+    return tile, B + (-B) % tile, need * tile < cap
+
+
+#: this kernel's CALIBRATED working-set model (round-5 on-chip points):
+#: n=56 tile=128 (14.9 MB at 9.3x) COMPILES AND RUNS; n=64 needs 19.47 MB
+#: and is rejected (hardware scoped-VMEM limit 16 MB).  A bf16-compute
+#: variant (19.05 MB) and a sweep-streamed in/out-aliased variant
+#: (24.35 MB) were also measured over the limit — the peak is Mosaic
+#: staging, not payload dtype (BENCH_NOTES round 5).  9.5x against
+#: 15.5 MB accepts n<=56 and rejects n>=60, matching every measurement.
+_EIGH_MULT = 9.5
+_EIGH_CAP = int(15.5 * 1024 * 1024)
 
 
 def plan_tiles(n: int, B: int, tile: int, itemsize: int):
@@ -128,13 +147,16 @@ def plan_tiles(n: int, B: int, tile: int, itemsize: int):
       128 or equal the whole batch — so the tile ladder is 128k (or
       exactly B when B < 128); sub-128 tiles of a larger batch are
       rejected by the compiler, not just slow.
-    * scoped VMEM: ~10x the [n, n, tile] block bytes must fit
-      ``VMEM_CAP`` (9.3x measured at n=64).
+    * scoped VMEM: ``_EIGH_MULT`` x the [n, n, tile] block bytes must fit
+      ``_EIGH_CAP`` (calibrated: n=56 compiles at 14.9 MB, n=64 is
+      rejected at 19.47 MB).
 
-    Returns ``use_pallas=False`` when no legal tile fits (n >~ 52 at f32
+    Returns ``use_pallas=False`` when no legal tile fits (n >= 60 at f32
     with B >= 128) — the caller degrades to the jnp Jacobi (same
     schedule, no VMEM-residency win) instead of crashing."""
-    t, Bp, fits = plan_lane_tiles(B, tile, n * n * itemsize)
+    t, Bp, fits = plan_lane_tiles(
+        B, tile, n * n * itemsize, mult=_EIGH_MULT, cap=_EIGH_CAP
+    )
     if not fits:
         return t, B, False
     return t, Bp, True
@@ -155,6 +177,15 @@ def eigh_jacobi_pallas(
     Returns eigenvalues ``[n, B]`` and eigenvectors ``[n, n, B]`` (column k
     on axis 1).  ``sort=False`` skips the ascending sort — the CMA-ES fleet
     does not need ordered spectra and saves the gather.
+
+    Envelope (round-5 calibration): the kernel path covers n <= 56 at f32
+    with 128-lane tiles (n=56: 1.19x the jnp Jacobi, 7.6x XLA eigh,
+    measured on-chip).  Past that every design measured goes over the
+    16 MB scoped-VMEM limit — resident f32 n=64 19.47 MB, bf16-compute
+    19.05 MB (peak is Mosaic staging, not payload dtype), sweep-streamed
+    in/out-aliased f32 24.35 MB — and a 64-lane chunked variant compiles
+    but runs at 0.61x the jnp Jacobi (half-lane occupancy), so the
+    fallback stays jnp (BENCH_NOTES round 5).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -97,6 +97,9 @@ class GDConfig:
     #   * PAGE's switch probability p = minibatch/(minibatch'+minibatch) is
     #     size_t integer division (nlsolver.h:2944-2945) = 0, so the
     #     gradient correction branch is taken every iteration.
+    # "safeguarded" (anneal only): divide the annealed step by the largest
+    # gradient norm seen (shrink-only), preventing the schedule's
+    # divergence on curved problems; reference semantics stay the default.
     variant: str = "default"
 
 
@@ -161,6 +164,13 @@ def step(fn: Objective, state: GDState, config: GDConfig) -> GDState:
     elif config.step_type == "anneal":
         # cooling schedule (nlsolver.h:2997)
         alpha = alpha / (1.0 + state.iteration.astype(dtype) / config.max_iter)
+        if config.variant == "safeguarded":
+            # NON-DEFAULT divergence guard: the reference schedule takes
+            # raw alpha*g steps, which explode on curved problems (12 of
+            # 15 suite problems diverge — see PARITY.md).  Reuse the
+            # Bigstep Lipschitz proxy (nlsolver.h:3010-3012): scale by
+            # the largest gradient norm seen, shrink-only.
+            alpha = alpha / jnp.maximum(max_grad_norm, 1.0)
     elif config.step_type == "bigstep":
         offset, length = BIGSTEP_OFFSETS[config.bigstep_level]
         table = jnp.asarray(BIGSTEP_TABLE, dtype)

@@ -55,6 +55,25 @@ def test_gd_anneal_converges(name):
     assert dist <= TOL, (name, res.x, dist)
 
 
+def test_gd_anneal_safeguarded():
+    """The NON-DEFAULT variant="safeguarded" anneal (round-4 verdict #6):
+    gradient-norm-guarded steps converge where the reference schedule
+    diverges (booth explodes to ~1e150 under the default — PARITY.md),
+    and the default variant's reference semantics stay untouched."""
+    import jax.numpy as jnp
+
+    p = PROBLEMS["booth"]
+    res_sg = solve(
+        gd, p.fn, start_point(p),
+        GDConfig(step_type="anneal", variant="safeguarded", max_iter=5000),
+    )
+    assert float(p.distance_to_nearest_minimum(res_sg.x)) <= 0.2, res_sg.x
+    res_def = solve(gd, p.fn, start_point(p), GDConfig(step_type="anneal"))
+    assert not bool(
+        jnp.all(jnp.isfinite(res_def.x))
+    ) or float(p.fn(res_def.x)) > 1e3  # the reference schedule still diverges
+
+
 def test_gd_fixed_on_sphere():
     p = PROBLEMS["sphere"]
     res = solve(gd, p.fn, start_point(p), GDConfig(step_type="fixed", alpha=0.1))

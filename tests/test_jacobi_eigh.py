@@ -114,6 +114,13 @@ def test_vmem_plan():
     # tiles are illegal -> fallback to the jnp Jacobi
     _, _, ok = plan_tiles(64, 4096, 128, 4)
     assert not ok
+    # round-5 calibration: n=56 tile=128 COMPILES on-chip (14.9 MB under
+    # the 16 MB limit) and beats the jnp fallback 1.19x; n=60 is the
+    # first rejected size
+    tile, Bp, ok = plan_tiles(56, 4096, 128, 4)
+    assert (tile, Bp, ok) == (128, 4096, True)
+    _, _, ok = plan_tiles(60, 4096, 128, 4)
+    assert not ok
     # n=64 with a SMALL batch: tile == B is the legal equal-to-array
     # case and fits
     tile, Bp, ok = plan_tiles(64, 64, 128, 4)

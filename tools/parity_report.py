@@ -40,6 +40,14 @@ N_SEEDS = 8
 # fixed, recorded budget the round-3 verdict asked for.
 MS_LADDER = ((32, 1), (64, 10))
 MS_LADDER_STOCH = ((8, 1), (8, 10))
+# bounded tier (round-4 verdict #2): same ladder, but starts sampled
+# uniformly inside the problem's CLASSICAL search domain
+# (problems/test_functions.py lower/upper) and bounds= forwarded to the
+# solver (clamping where the family supports it).  Tags: b-ms{k}[x{s}].
+# gd_anneal additionally gets the non-default variant="safeguarded"
+# (gradient-norm-guarded anneal step, solvers/gd.py) on the bounded
+# ladder, tagged sg-ms{k}[x{s}] — the reference-semantics default config
+# is always tried first and stays untouched.
 
 DETERMINISTIC = {
     "nelder_mead": (nelder_mead, nelder_mead.NelderMeadConfig(), "nelder_mead"),
@@ -71,6 +79,39 @@ def _scaled(cfg, scale):
     return dataclasses.replace(cfg, max_iter=cfg.max_iter * scale)
 
 
+def _domain_bounds(p):
+    """The problem's classical search domain as a Bounds, or None."""
+    if not p.lower:
+        return None
+    from nlsolver_tpu.core import Bounds
+
+    return Bounds(
+        lower=jnp.asarray(p.lower, jnp.float64),
+        upper=jnp.asarray(p.upper, jnp.float64),
+    )
+
+
+def _tiers(family, cfg, ladder):
+    """The escalation ladder as (tag, config, restarts, bounds) rows:
+    unbounded multistart first, then the bounded (classical-domain) tier,
+    then — for gd_anneal only — the safeguarded-variant bounded tier."""
+    import dataclasses
+
+    rows = []
+    for restarts, scale in ladder:
+        tag = f"ms{restarts}" + (f"x{scale}" if scale > 1 else "")
+        rows.append((tag, _scaled(cfg, scale), restarts, None))
+    for restarts, scale in ladder:
+        tag = f"b-ms{restarts}" + (f"x{scale}" if scale > 1 else "")
+        rows.append((tag, _scaled(cfg, scale), restarts, "domain"))
+    if family == "gd_anneal":
+        sg = dataclasses.replace(cfg, variant="safeguarded")
+        for restarts, scale in ladder:
+            tag = f"sg-ms{restarts}" + (f"x{scale}" if scale > 1 else "")
+            rows.append((tag, _scaled(sg, scale), restarts, "domain"))
+    return rows
+
+
 def run_family(family):
     results = {}
     if family in DETERMINISTIC:
@@ -83,17 +124,21 @@ def run_family(family):
             if d <= TOL:
                 results[name] = (True, f"{d:.3f}")
                 continue
-            # multistart retry ladder (minimize(..., restarts=k) meta-driver)
-            for restarts, scale in MS_LADDER:
+            # multistart retry ladder (minimize(..., restarts=k) meta-driver),
+            # then the bounded (classical-domain) tier, then — gd_anneal
+            # only — the safeguarded-variant bounded tier
+            for tag, c, r, bspec in _tiers(family, cfg, MS_LADDER):
+                b = _domain_bounds(p) if bspec else None
+                if bspec and b is None:
+                    continue
                 res = jax.jit(
-                    lambda x0, k, c=_scaled(cfg, scale), r=restarts:
-                    nlsolver_tpu.minimize(
-                        p.fn, x0, method=mname, config=c, key=k, restarts=r
+                    lambda x0, k, c=c, r=r, b=b: nlsolver_tpu.minimize(
+                        p.fn, x0, method=mname, config=c, key=k, restarts=r,
+                        bounds=b,
                     )
                 )(start(p), jax.random.key(7))
                 dm = float(p.distance_to_nearest_minimum(res.x))
                 if dm <= TOL:
-                    tag = f"ms{restarts}" + (f"x{scale}" if scale > 1 else "")
                     results[name] = (
                         True,
                         f"{tag}:{dm:.3f},nfev={int(res.function_calls)}",
@@ -115,20 +160,21 @@ def run_family(family):
             if n_pass >= N_SEEDS // 2:
                 results[name] = (True, f"{n_pass}/{N_SEEDS}")
                 continue
-            for restarts, scale in MS_LADDER_STOCH:
+            for tag, c, r, bspec in _tiers(family, cfg, MS_LADDER_STOCH):
+                b = _domain_bounds(p) if bspec else None
+                if bspec and b is None:
+                    continue
                 res = jax.jit(
                     jax.vmap(
-                        lambda k, c=_scaled(cfg, scale), r=restarts:
-                        nlsolver_tpu.minimize(
+                        lambda k, c=c, r=r, b=b: nlsolver_tpu.minimize(
                             p.fn, start(p), method=mname, config=c, key=k,
-                            restarts=r,
+                            restarts=r, bounds=b,
                         )
                     )
                 )(keys)
                 dists_m = jax.vmap(p.distance_to_nearest_minimum)(res.x)
                 n_pass_m = int(jnp.sum(dists_m <= TOL))
                 if n_pass_m >= N_SEEDS // 2:
-                    tag = f"ms{restarts}" + (f"x{scale}" if scale > 1 else "")
                     results[name] = (True, f"{tag}:{n_pass_m}/{N_SEEDS}")
                     break
             else:
@@ -189,11 +235,17 @@ def main():
         "Pairs the base config fails are retried through the public",
         "multistart meta-driver `minimize(..., restarts=k)` on an",
         f"escalating (restarts, max_iter-multiplier) ladder: {MS_LADDER}",
-        f"(deterministic) / {MS_LADDER_STOCH} per seed (stochastic).",
-        "Detail cells prefixed `ms{k}[x{scale}]` record the tier that",
-        "passed plus the summed evaluation budget.  The reference has no",
-        "multistart; its harness gives every solver one trajectory per RNG",
-        "config.",
+        f"(deterministic) / {MS_LADDER_STOCH} per seed (stochastic),",
+        "run twice: first unbounded (tags `ms{k}[x{scale}]`), then with",
+        "starts sampled inside the problem's CLASSICAL search domain and",
+        "bounds= forwarded to the solver (tags `b-ms{k}[x{scale}]` — the",
+        "bounded tier, honestly labeled: the reference never searches",
+        "outside-in).  gd_anneal gets one further labeled tier",
+        "(`sg-ms{k}[x{scale}]`): the NON-DEFAULT variant=\"safeguarded\"",
+        "anneal (gradient-norm-guarded step, solvers/gd.py) on the bounded",
+        "ladder; the reference-semantics default is always tried first.",
+        "The reference has no multistart; its harness gives every solver",
+        "one trajectory per RNG config.",
         "",
         "| family | problem | reference | ours | verdict |",
         "|---|---|---|---|---|",
@@ -246,13 +298,18 @@ def main():
         " (solver, problem, RNG) rows the reference's own harness records"
         " as failing.",
         "",
-        "Residual failures are solver-structural, not budget-bound: the",
-        "ms-ladder's 64-restart, 10x-iteration tier rescued no additional",
-        "pair (Bukin N6's |.|-ridge defeats every local family given the",
-        "reference NM/GD initialization semantics; gd_anneal's",
-        "alpha/(1+iter/max_iter) schedule decays before reaching the",
-        "basin floor on most curved problems; CGD zigzags on ill-scaled",
-        "valleys).",
+        "Residual failures are solver-structural, not budget-bound.",
+        "Bukin N6 resists every family and every tier — including",
+        "bounded population search inside its classical domain and a",
+        "dedicated heavy-budget probe (DE pop=64 x 10k iters, NM ms256,",
+        "PSO 64x50k, all bounded): the |y-0.01x^2|^(1/2) ridge is flat to",
+        "~0.01|x+10| along its floor with dense micro-local minima, so no",
+        "solver in the reference's catalogue locates (-10, 1) to 0.05",
+        "(the reference itself fails all 22 configs).  cgd",
+        "schaffer_n2/shekel and gd_anneal ackley/rastrigin remain: CGD",
+        "zigzags into the plateau/local wells from every sampled start,",
+        "and even the safeguarded anneal converges to the nearest local",
+        "minimum on the dense-multimodal pair.",
         "",
         "(CMA-ES, SANN, LM, Brent and the root finders have no reference test",
         "coverage — see their dedicated test files.)",
