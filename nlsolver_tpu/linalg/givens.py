@@ -67,6 +67,13 @@ def qr(A: jax.Array, method: str = "householder", **kwargs) -> QR:
     fleets — linalg/qr_parallel.py), or its VMEM-resident Pallas twin
     (``method="pallas"``, [m, n, B] batch-minor only —
     ops/qr_wavefront.py; kwargs: ``tile``, ``interpret``)."""
+    if method != "pallas" and kwargs:
+        # only the pallas backend consumes kwargs; swallowing them here
+        # would silently drop e.g. tile= (advisor finding, round 4)
+        raise TypeError(
+            f"qr(method={method!r}) takes no extra kwargs, got "
+            f"{sorted(kwargs)}; tile=/interpret= apply to method='pallas'"
+        )
     if method == "givens":
         return qr_givens(A)
     if method == "parallel":

@@ -150,7 +150,13 @@ def step(fn_cols, state: BFGSFleetState, config: BFGSFleetConfig) -> BFGSFleetSt
     new_norm = jnp.sqrt(jnp.sum(new_g * new_g, axis=0))
 
     y = new_g - g
-    rho = 1.0 / jnp.sum(y * s, axis=0)
+    # curvature guard (advisor finding, round 4): a failed line search
+    # (alpha=0 => s=y=0) or negative curvature would make rho infinite and
+    # store a non-finite inv_hessian; rho=0 makes the rank-2 update a
+    # no-op and the explicit reset below restores steepest descent
+    sy = jnp.sum(y * s, axis=0)
+    curv_ok = sy > 0
+    rho = jnp.where(curv_ok, 1.0 / jnp.where(curv_ok, sy, 1.0), 0.0)
     new_H, d_raw = rank2_direction_batchminor(
         state.inv_hessian,
         s,
@@ -162,7 +168,9 @@ def step(fn_cols, state: BFGSFleetState, config: BFGSFleetConfig) -> BFGSFleetSt
         **({"tile": config.pallas_tile} if config.use_pallas else {}),
     )
     phi = jnp.sum(new_g * d_raw, axis=0)
-    need_reset = (phi > 0) | jnp.isnan(phi) | (new_norm > state.grad_norm)
+    need_reset = (
+        (phi > 0) | jnp.isnan(phi) | (new_norm > state.grad_norm) | ~curv_ok
+    )
     d_next = jnp.where(need_reset[None, :], -new_g, d_raw)
 
     worked = BFGSFleetState(

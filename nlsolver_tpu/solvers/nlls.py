@@ -37,6 +37,11 @@ class NLLSConfig:
     max_iter: int = 100
     f_delta: float = 1e-12
     grad_eps: float = 1e-12
+    # stall ceiling (advisor finding, round 4; same semantics as
+    # NLLSFleetConfig.lambda_max): an all-rejections tail spins at fixed
+    # |prev_cost-cost| until max_iter; the ceiling halts it after
+    # ~log(lambda_max/lambda0)/log(upward_mult) rejections, converged=False
+    lambda_max: float = 1e12
     # "cholesky": damped normal equations (J^T J + lam I, linalg.damped_solve
     # — the reference's get_update_with_hessian path, nlsolver.h:296-330);
     # "qr": least-squares on the augmented system [J; sqrt(lam) I] via the
@@ -86,7 +91,10 @@ def step(residual_fn: Callable, state: NLLSState, config: NLLSConfig) -> NLLSSta
         jnp.linalg.norm(g) < config.grad_eps
     )
     done_now = (
-        (state.iteration >= config.max_iter) | hit_tol | jnp.isnan(state.cost)
+        (state.iteration >= config.max_iter)
+        | hit_tol
+        | jnp.isnan(state.cost)
+        | (state.lam > config.lambda_max)
     )
     halted = state._replace(done=jnp.asarray(True), converged=hit_tol)
 

@@ -47,6 +47,13 @@ class NLLSFleetConfig:
     max_iter: int = 100
     f_delta: float = 1e-12
     grad_eps: float = 1e-12
+    # stall ceiling (advisor finding, round 4): a lane whose steps are all
+    # rejected after its last improvement keeps a fixed |prev_cost-cost|
+    # and would spin (2 fleet-wide evaluations/iter) until max_iter; every
+    # rejection multiplies lam by upward_mult, so a ceiling halts the lane
+    # after ~log(lambda_max/lambda0)/log(upward_mult) rejections,
+    # converged=False
+    lambda_max: float = 1e12
     solve: str = "cholesky"          # cholesky | qr | qr_pallas
     pallas_tile: int = 128
     pallas_interpret: bool = False   # interpret-mode kernel (tests off-TPU)
@@ -156,7 +163,10 @@ def step(
         gnorm < config.grad_eps
     )
     done_now = (
-        (state.iteration >= config.max_iter) | hit_tol | jnp.isnan(state.cost)
+        (state.iteration >= config.max_iter)
+        | hit_tol
+        | jnp.isnan(state.cost)
+        | (state.lam > config.lambda_max)
     )
     halted = state._replace(
         done=jnp.ones_like(state.done), converged=hit_tol

@@ -181,3 +181,25 @@ class TestBFGSFleet:
         assert len(set(its.tolist())) > 1  # genuinely different stop times
         assert np.all(its <= 60)
         assert float(jnp.max(jnp.abs(res.x))) < 1e-2
+
+
+def test_failed_linesearch_never_stores_nonfinite_H():
+    """Advisor finding (round 4): an alpha=0 linesearch outcome (s=y=0)
+    made rho=1/0=inf and wrote a NaN inv_hessian, relying on downstream
+    NaN detection to recover.  The curvature guard must keep H finite and
+    flag the reset instead.  Forced here with an ASCENT direction (every
+    trial step increases f, so the speculative grid returns alpha=0)."""
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers import bfgs_fleet
+
+    n, B = 3, 4
+    w = jnp.linspace(1.0, 2.0, n)[:, None]
+    fn_cols = lambda X: jnp.sum(w * X, axis=0)        # linear: grad == w
+    X0 = jnp.ones((n, B), jnp.float32)
+    cfg = bfgs_fleet.BFGSFleetConfig(linesearch="speculative")
+    state = bfgs_fleet.init(fn_cols, X0, cfg)
+    state = state._replace(direction=state.gradient)  # ascent direction
+    new = bfgs_fleet.step(fn_cols, state, cfg)
+    assert bool(jnp.all(jnp.isfinite(new.inv_hessian))), new.inv_hessian
+    assert bool(jnp.all(new.pending_reset))

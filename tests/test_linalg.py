@@ -187,3 +187,14 @@ class TestParallelQR:
         Q, R = jax.vmap(qr_parallel)(A)
         rec = jnp.einsum("bik,bkj->bij", Q, R)
         assert float(jnp.max(jnp.abs(rec - A))) < 1e-12
+
+
+def test_qr_rejects_unconsumed_kwargs():
+    """Advisor finding (round 4): qr(method='parallel', tile=64) silently
+    dropped tile; only the pallas backend consumes kwargs."""
+    import pytest as _pytest
+
+    A = jnp.eye(3)
+    for method in ("householder", "givens", "parallel"):
+        with _pytest.raises(TypeError, match="takes no extra kwargs"):
+            qr(A, method=method, tile=64)

@@ -82,3 +82,23 @@ def test_fleet_unknown_solve_raises(expfit):
             nf.NLLSFleetConfig(solve="nope"),
             data=ys,
         )
+
+
+def test_rejected_step_stall_halts_via_lambda_ceiling():
+    """Advisor finding (round 4): a lane whose steps are all rejected
+    after its last improvement kept a fixed |prev_cost-cost| and spun to
+    max_iter.  The lambda ceiling must halt it early, converged=False."""
+    import jax.numpy as jnp
+
+    from nlsolver_tpu.solvers import nlls_fleet as nf
+
+    # residual with a hard floor the LM step cannot improve past from
+    # this start: r(x) = [|x|+1] has cost >= 1 everywhere, J = sign(x)
+    def residual(p):
+        return jnp.asarray([jnp.abs(p[0]) + 1.0])
+
+    cfg = nf.NLLSFleetConfig(max_iter=10_000, lambda_max=1e6, f_delta=0.0)
+    res = nf.fit_fleet(residual, jnp.ones((1, 2), jnp.float32), cfg)
+    # halts long before max_iter (~log(1e6/10)/log(10) rejections)
+    assert int(jnp.max(res.iterations)) < 100, res.iterations
+    assert not bool(jnp.any(res.converged))

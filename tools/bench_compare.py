@@ -37,8 +37,8 @@ def is_throughput(path):
     leaf = path.rsplit(".", 1)[-1]
     if "pct" in leaf or "speedup" in leaf:
         return False
-    return leaf.endswith(("_per_sec", "_gbps", "_gflops", "_tflops")) or (
-        "tflops" in leaf
+    return leaf.endswith(
+        ("_per_sec", "_gbps", "_gflops", "_tflops", "_tflops_default_precision")
     )
 
 

@@ -1,17 +1,23 @@
-"""Measured multi-process overhead: 1-process vs 2-process island DE.
+"""Measured multi-process overhead: 1-process vs N-process engines.
 
 SCALING.md's >99% island-efficiency claim was a communication-cost model;
 this measures the real multi-process runtime's overhead on the only
-hardware available (CPU: 4 virtual devices on 2 cores in BOTH
-configurations, so compute oversubscription cancels and the delta is the
-Gloo/DCN coordination cost of the dp axis spanning processes).
+hardware available (CPU: the same total virtual device count on 2 cores
+in EVERY configuration, so compute oversubscription cancels and the
+delta is the Gloo/DCN coordination cost of the dp axis spanning
+processes).
 
-  python tools/two_process_bench.py            # orchestrates both configs
+  python tools/two_process_bench.py                       # 1 vs 2 proc, 4 devices
+  TOTAL_DEVICES=8 NPROCS=2,4 python tools/two_process_bench.py   # the ladder
 
-Child modes (internal): `single` (one process, 4 devices) and
-`child <pid> <nproc> <port>` (2 processes x 2 devices).
+The NPROCS ladder (round-4 verdict #5) gives the per-collective
+rendezvous model a second data point: does efficiency fall with process
+count (rendezvous fan-in) at constant global work?
+
+Child modes (internal): `single` (one process, TOTAL_DEVICES devices)
+and `child <pid> <nproc> <port>` (nproc processes x TOTAL/nproc devices).
 Fixed work: every instance runs exactly ITERS generations (termination
-disabled), identical global shapes in both configs.
+disabled), identical global shapes in every config.
 """
 import os
 import re
@@ -26,6 +32,9 @@ SYNC = int(os.environ.get("SYNC_INTERVAL", "1"))
 FUSED = os.environ.get("FUSED", "0") == "1"
 MIG = int(os.environ.get("MIGRATION_INTERVAL", "10"))
 SOLVER = os.environ.get("SOLVER", "island_de")  # island_de | pso | de_sharded
+TOTAL = int(os.environ.get("TOTAL_DEVICES", "4"))
+NPROCS = [int(x) for x in os.environ.get("NPROCS", "2").split(",")]
+POP_AXIS = 2  # mesh pop-axis extent; dp = devices/POP_AXIS spans processes
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -106,7 +115,7 @@ def mode_single():
     jax.config.update("jax_platforms", "cpu")
     from nlsolver_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(4, dp=2, pop=2)
+    mesh = make_mesh(TOTAL, dp=TOTAL // POP_AXIS, pop=POP_AXIS)
     med = _solve_and_time(mesh, lambda x0, keys: (x0, keys))
     print(f"SINGLE {med:.6f}", flush=True)
 
@@ -124,7 +133,7 @@ def mode_child(pid, nproc, port):
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    mesh = dist.global_mesh(pop=2)
+    mesh = dist.global_mesh(pop=POP_AXIS)
     shard = NamedSharding(mesh, P("dp", None))
 
     def make_global(x0_all, keys_all):
@@ -138,8 +147,34 @@ def mode_child(pid, nproc, port):
     print(f"MULTI process={pid} {med:.6f}", flush=True)
 
 
+def _run_nproc(nproc):
+    s = socket.socket(); s.bind(("", 0)); port = s.getsockname()[1]; s.close()
+    env = dict(
+        os.environ,
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={TOTAL // nproc}",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "child", str(i),
+             str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(nproc)
+    ]
+    times = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-2000:]
+        mm = re.search(r"MULTI process=\d+ ([0-9.]+)", out)
+        assert mm, out[-2000:]
+        times.append(float(mm.group(1)))
+    return max(times)
+
+
 def orchestrate():
-    env1 = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env1 = dict(
+        os.environ, XLA_FLAGS=f"--xla_force_host_platform_device_count={TOTAL}"
+    )
     out1 = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "single"],
         capture_output=True, text=True, env=env1, timeout=900,
@@ -148,28 +183,15 @@ def orchestrate():
     assert m, out1.stdout + out1.stderr[-2000:]
     t_single = float(m.group(1))
 
-    s = socket.socket(); s.bind(("", 0)); port = s.getsockname()[1]; s.close()
-    env2 = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=2")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "child", str(i), "2", str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env2,
-        )
-        for i in range(2)
-    ]
-    times = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, out[-2000:]
-        mm = re.search(r"MULTI process=\d ([0-9.]+)", out)
-        assert mm, out[-2000:]
-        times.append(float(mm.group(1)))
-    t_multi = max(times)
-    eff = t_single / t_multi
-    print(f"solver={SOLVER} sync_interval={SYNC} fused={FUSED} migration_interval={MIG}")
-    print(f"single-process (4 devices):  {t_single*1e3:8.1f} ms")
-    print(f"two-process    (2x2 devices): {t_multi*1e3:8.1f} ms")
-    print(f"multi-process efficiency:     {100*eff:6.1f}%")
+    print(f"solver={SOLVER} sync_interval={SYNC} fused={FUSED} "
+          f"migration_interval={MIG} total_devices={TOTAL}")
+    print(f"single-process ({TOTAL} devices): {t_single*1e3:8.1f} ms")
+    for nproc in NPROCS:
+        assert TOTAL % nproc == 0, (TOTAL, nproc)
+        t_multi = _run_nproc(nproc)
+        eff = t_single / t_multi
+        print(f"{nproc}-process ({nproc}x{TOTAL//nproc} devices): "
+              f"{t_multi*1e3:8.1f} ms   efficiency: {100*eff:6.1f}%")
 
 
 if __name__ == "__main__":
