@@ -24,7 +24,9 @@ The TPU-first flagships are reachable through the same entry point via the
     * ``layout="sharded"`` — engines over a device ``mesh``:
       ``de``/``pso`` shard the POPULATION (``parallel.*_sharded``),
       ``cmaes``/``bfgs`` shard the fleet LANE axis
-      (``parallel.cmaes_sharded`` / ``fleet_sharded``), ``lbfgs`` shards
+      (``parallel.cmaes_sharded`` / ``fleet_sharded``),
+      ``pso_batched``/``sann`` shard the INSTANCE batch of the lane-axis
+      fleet engines (``fleet_sharded``, x0=[B, n]), ``lbfgs`` shards
       the DIMENSION axis (``parallel.lbfgs_sharded``, shard-local
       objective contract);
     * ``layout="islands"`` — island-model DE with ring migration over
@@ -96,7 +98,9 @@ def _register():
         "de",
         "de_batched",
         "pso",
+        "pso_batched",
         "sann",
+        "sann_batched",
         "nmpso",
         "gd",
         "cgd",
@@ -459,6 +463,25 @@ def _dispatch(
                 fn, x0, cfg, mesh, bounds, key=key, **kwargs
             )
             return unflip(res)
+        if method in ("pso_batched", "pso_fleet"):
+            # lane-sharded PSO fleet (instance batch on the lane axis over
+            # every device, solvers/pso_batched.py) — the alternative to
+            # method='pso', which shards ONE swarm's POPULATION
+            from .parallel import fleet_sharded
+
+            cfg = config if config is not None else _METHODS["pso"].PSOConfig()
+            res = fleet_sharded.minimize_pso_fleet_sharded(
+                fn, x0, cfg, mesh, keys=keys, bounds=bounds, **kwargs
+            )
+            return unflip(res)
+        if method in ("sann", "sann_batched", "sann_fleet"):
+            from .parallel import fleet_sharded
+
+            cfg = config if config is not None else _METHODS["sann"].SANNConfig()
+            res = fleet_sharded.minimize_sann_fleet_sharded(
+                fn, x0, cfg, mesh, keys=keys, **kwargs
+            )
+            return unflip(res)
         if method == "de":
             from .parallel import de_sharded as eng
 
@@ -469,9 +492,11 @@ def _dispatch(
             cfg = config if config is not None else _METHODS["pso"].PSOConfig()
         else:
             raise ValueError(
-                f"layout='sharded' supports method='de', 'pso', 'cmaes'/"
-                f"'bfgs' (lane-sharded fleets, x0=[n, B]) or 'lbfgs' "
-                f"(dimension-sharded, x0=[n] + grad_local=), got {method!r}"
+                f"layout='sharded' supports method='de', 'pso' (population "
+                f"sharding), 'pso_batched'/'sann' (lane-sharded instance "
+                f"fleets, x0=[B, n]), 'cmaes'/'bfgs' (lane-sharded fleets, "
+                f"x0=[n, B]) or 'lbfgs' (dimension-sharded, x0=[n] + "
+                f"grad_local=), got {method!r}"
             )
         res = eng.minimize_sharded(fn, x0, cfg, mesh, keys=keys, **kwargs)
     return unflip(res)

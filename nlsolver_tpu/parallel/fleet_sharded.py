@@ -1,4 +1,4 @@
-"""Mesh-sharded lane fleets: BFGS and NLLS.
+"""Mesh-sharded lane fleets: BFGS, NLLS, PSO, SANN.
 
 Like the CMA-ES fleet (parallel/cmaes_sharded.py), the batch-minor BFGS
 fleet (solvers/bfgs_fleet.py) and NLLS fleet (solvers/nlls_fleet.py) are
@@ -58,6 +58,76 @@ def minimize_fleet_sharded(
         return bfgs_fleet.minimize_fleet(fn_cols, X0, cfg)
 
     return run(X0)
+
+
+def minimize_pso_fleet_sharded(
+    fn,
+    x0: jax.Array,                      # [B, n] per-instance width vectors
+    config=None,
+    mesh: Optional[Mesh] = None,
+    *,
+    keys: Optional[jax.Array] = None,
+    bounds=None,
+):
+    """B independent PSO swarms (the lane-axis engine
+    solvers/pso_batched.py, state [n, P, B]) with the INSTANCE lane axis
+    sharded over every device.  Like the BFGS/NLLS fleets there is no
+    cross-lane data flow — the swarm-best reduction is over the particle
+    (sublane) axis — so sharding is pure data parallelism.  Per-instance
+    keys make results invariant to the mesh layout (tested)."""
+    from ..solvers import pso_batched
+    from ..solvers.pso import PSOConfig
+
+    if mesh is None:
+        raise ValueError("minimize_pso_fleet_sharded requires a mesh")
+    _check_width(x0.shape[0], mesh)
+    cfg = config if config is not None else PSOConfig()
+    lead = NamedSharding(mesh, P((DP_AXIS, POP_AXIS)))
+    x0 = jax.device_put(
+        jnp.asarray(x0), NamedSharding(mesh, P((DP_AXIS, POP_AXIS), None))
+    )
+    if keys is None:
+        keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    keys = jax.device_put(keys, lead)
+
+    @jax.jit
+    def run(x0, keys):
+        return pso_batched.minimize_batched(fn, x0, cfg, bounds, keys=keys)
+
+    return run(x0, keys)
+
+
+def minimize_sann_fleet_sharded(
+    fn,
+    x0: jax.Array,                      # [B, n] start points
+    config=None,
+    mesh: Optional[Mesh] = None,
+    *,
+    keys: Optional[jax.Array] = None,
+):
+    """B independent SANN chains (solvers/sann_batched.py, state [n, B])
+    with the instance lane axis sharded over every device — pure data
+    parallelism, per-instance streams, layout-invariant results."""
+    from ..solvers import sann_batched
+    from ..solvers.sann import SANNConfig
+
+    if mesh is None:
+        raise ValueError("minimize_sann_fleet_sharded requires a mesh")
+    _check_width(x0.shape[0], mesh)
+    cfg = config if config is not None else SANNConfig()
+    lead = NamedSharding(mesh, P((DP_AXIS, POP_AXIS)))
+    x0 = jax.device_put(
+        jnp.asarray(x0), NamedSharding(mesh, P((DP_AXIS, POP_AXIS), None))
+    )
+    if keys is None:
+        keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    keys = jax.device_put(keys, lead)
+
+    @jax.jit
+    def run(x0, keys):
+        return sann_batched.minimize_batched(fn, x0, cfg, keys=keys)
+
+    return run(x0, keys)
 
 
 def fit_fleet_sharded(

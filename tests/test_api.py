@@ -422,3 +422,25 @@ def test_maximize_fleet_with_explicit_fn_cols():
                 lambda x: jnp.sum(x * x), X0, method="bfgs",
                 bounds=Bounds(jnp.asarray(-1.0), jnp.asarray(1.0)), **extra,
             )
+
+
+def test_layout_sharded_pso_sann_fleets(key):
+    """layout='sharded' + method='pso_batched'/'sann' reaches the
+    lane-sharded instance fleets (parallel/fleet_sharded.py)."""
+    from nlsolver_tpu.parallel import make_mesh
+    from nlsolver_tpu.solvers.sann import SANNConfig
+
+    sphere = lambda x: jnp.sum(x * x)
+    mesh = make_mesh(8, dp=2, pop=4)
+    x0 = jnp.tile(jnp.full((2,), -0.5), (8, 1))
+    r = nlsolver_tpu.minimize(
+        sphere, x0, method="pso_batched", layout="sharded", mesh=mesh, key=key
+    )
+    assert r.x.shape == (8, 2)
+    assert float(jnp.median(r.f_value)) < 1e-2
+    r = nlsolver_tpu.minimize(
+        sphere, x0, method="sann", layout="sharded", mesh=mesh,
+        config=SANNConfig(max_iter=300), key=key,
+    )
+    assert r.x.shape == (8, 2)
+    assert float(jnp.median(r.f_value)) < 1e-2

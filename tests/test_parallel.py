@@ -208,3 +208,44 @@ def test_sharded_de_single_gather_per_generation(mesh, key):
     ).lower(x0, keys)
     body = lowered.compile().as_text().split("ENTRY")[0]
     assert body.count("all-gather") <= 1, body.count("all-gather")
+
+
+def test_lane_sharded_pso_sann_fleet_layout_invariance(key):
+    """parallel/fleet_sharded.py round-5 wrappers: the lane-sharded
+    PSO/SANN fleets give bit-identical results across mesh layouts
+    (per-instance keys, no cross-lane data flow)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from nlsolver_tpu.parallel import (
+        make_mesh,
+        minimize_pso_fleet_sharded,
+        minimize_sann_fleet_sharded,
+    )
+    from nlsolver_tpu.problems import PROBLEMS
+    from nlsolver_tpu.solvers.pso import PSOConfig
+    from nlsolver_tpu.solvers.sann import SANNConfig
+
+    p = PROBLEMS["sphere"]
+    B = 8
+    x0 = jnp.tile(jnp.full((2,), -0.5, jnp.float32), (B, 1))
+    keys = jax.random.split(key, B)
+    cfg = PSOConfig(n_particles=8, max_iter=60)
+    r_a = minimize_pso_fleet_sharded(
+        p.fn, x0, cfg, make_mesh(8, dp=2, pop=4), keys=keys
+    )
+    r_b = minimize_pso_fleet_sharded(
+        p.fn, x0, cfg, make_mesh(8, dp=4, pop=2), keys=keys
+    )
+    np.testing.assert_array_equal(np.asarray(r_a.x), np.asarray(r_b.x))
+
+    scfg = SANNConfig(max_iter=60)
+    s_a = minimize_sann_fleet_sharded(
+        p.fn, x0, scfg, make_mesh(8, dp=2, pop=4), keys=keys
+    )
+    s_b = minimize_sann_fleet_sharded(
+        p.fn, x0, scfg, make_mesh(8, dp=4, pop=2), keys=keys
+    )
+    np.testing.assert_array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert float(jnp.median(s_a.f_value)) < 0.05
