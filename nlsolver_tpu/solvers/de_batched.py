@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core import SolverResult, drive, make_result, signed, std_err
+from ..core import SolverResult, make_result, signed, std_err
 from ..random.sampling import distinct_indices
 from .de import DEConfig
 

@@ -11,7 +11,6 @@ Usage: python tools/parity_report.py  (writes PARITY.md at the repo root)
 """
 import os
 import sys
-from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))

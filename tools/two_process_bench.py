@@ -42,7 +42,6 @@ sys.path.insert(0, REPO)
 
 def _solve_and_time(mesh, make_global):
     import jax
-    import jax.numpy as jnp
 
     from nlsolver_tpu.parallel import de_island, pso_sharded
     from nlsolver_tpu.problems import PROBLEMS
