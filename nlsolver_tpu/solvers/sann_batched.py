@@ -164,6 +164,11 @@ def minimize_batched(
 ) -> SolverResult:
     if keys is None:
         keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    elif keys.shape[0] != x0.shape[0]:
+        raise ValueError(
+            f"keys carries {keys.shape[0]} per-instance streams but x0 has "
+            f"{x0.shape[0]} instances"
+        )
     sfn = signed(fn, _minimize)
     state = init(sfn, x0, config, keys)
     state = lax.while_loop(

@@ -191,3 +191,13 @@ def test_pso_matches_row_engine_distribution(key):
     db = jax.vmap(p.distance_to_nearest_minimum)(res_b.x)
     dr = jax.vmap(p.distance_to_nearest_minimum)(res_r.x)
     assert int(jnp.sum(db <= TOL)) >= int(jnp.sum(dr <= TOL)) - 2
+
+
+def test_keys_width_mismatch_raises(key):
+    p = PROBLEMS["sphere"]
+    x0 = jnp.tile(jnp.full((2,), -0.5), (8, 1))
+    bad = jax.random.split(key, 4)
+    with pytest.raises(ValueError, match="per-instance streams"):
+        pso_batched.minimize_batched(p.fn, x0, PSOConfig(), keys=bad)
+    with pytest.raises(ValueError, match="per-instance streams"):
+        sann_batched.minimize_batched(p.fn, x0, SANNConfig(), keys=bad)
