@@ -268,6 +268,8 @@ def _dispatch(
         if f is None:
             hint = {
                 "de_batched": "use method='de' with layout='batched'",
+                "pso_batched": "use method='pso' with layout='batched'",
+                "sann_batched": "use method='sann' with layout='batched'",
                 "bfgs_fleet": "use method='bfgs' with layout='fleet'",
                 "nlls": "use nlsolver_tpu.fit / fit_batched / curve_fit",
             }.get(method, "see nlsolver_tpu.methods()")

@@ -154,6 +154,17 @@ def drive(
     return lax.while_loop(cond, body, init_state)
 
 
+def drive_fleet_scan(step_fn: Callable[[S], S], state: S, trips: int) -> S:
+    """Fixed-trip scan driver for the batch-minor fleet engines, whose
+    ``step()`` freezes finished lanes INTERNALLY (mask folded into the
+    update selects) — no ``tree_where`` wrapper, which would re-stream
+    every state array and assumes leading-batch layouts anyway."""
+    from jax import lax
+
+    final, _ = lax.scan(lambda s, _: (step_fn(s), None), state, None, length=trips)
+    return final
+
+
 def drive_scan(step_fn: Callable[[S], S], init_state: S, num_steps: int) -> S:
     """Fixed-trip-count variant (``lax.scan`` over ``num_steps``).
 

@@ -155,7 +155,10 @@ def step(fn_cols, state: BFGSFleetState, config: BFGSFleetConfig) -> BFGSFleetSt
     # store a non-finite inv_hessian; rho=0 makes the rank-2 update a
     # no-op and the explicit reset below restores steepest descent
     sy = jnp.sum(y * s, axis=0)
-    curv_ok = sy > 0
+    # strictly-positive is not enough: a positive SUBNORMAL sy (possible
+    # when alpha ~ 1e-20) still overflows 1/sy to inf; the smallest
+    # normal keeps the reciprocal finite (1/tiny ~ 8.5e37 < f32 max)
+    curv_ok = sy > jnp.asarray(jnp.finfo(sy.dtype).tiny, sy.dtype)
     rho = jnp.where(curv_ok, 1.0 / jnp.where(curv_ok, sy, 1.0), 0.0)
     new_H, d_raw = rank2_direction_batchminor(
         state.inv_hessian,

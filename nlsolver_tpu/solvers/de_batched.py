@@ -240,6 +240,12 @@ def minimize_batched(
     generations while the fleet runs."""
     if keys is None:
         keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    elif keys.ndim == 0 or keys.shape[0] != x0.shape[0]:
+        raise ValueError(
+            "keys must carry one stream per instance: got "
+            f"{'a single unsplit key' if keys.ndim == 0 else keys.shape[0]}"
+            f" for {x0.shape[0]} instances (split with jax.random.split)"
+        )
     sfn = signed(fn, _minimize)
     state = init(sfn, x0, config, keys)
 

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import Bounds, SolverResult, make_result, signed, std_err
-from .pso import PSOConfig
+from ..core.driver import drive_fleet_scan  # noqa: F401  (bench entry point)
+from .pso import PSOConfig, _derived_bounds  # noqa: F401  (shape-agnostic)
 
 
 class PSOBatchState(NamedTuple):
@@ -53,12 +54,6 @@ class PSOBatchState(NamedTuple):
 
 def _eval_cols(fn, A):  # A: [n, P, B] -> [P, B]
     return jax.vmap(jax.vmap(fn, in_axes=1), in_axes=2, out_axes=1)(A)
-
-
-def _derived_bounds(x0_cols: jax.Array):
-    """Per-instance +/-|x_i| bounds (nlsolver.h:2554-2560). x0_cols: [n, B]."""
-    t = jnp.abs(x0_cols)
-    return -t, t
 
 
 def init(
@@ -215,16 +210,6 @@ def step(
     )
 
 
-def drive_fleet_scan(step_fn, state: PSOBatchState, trips: int) -> PSOBatchState:
-    """Fixed-trip driver (benches): lane freezing happens inside step(),
-    so no tree_where wrapper is needed (the core ``drive_scan``'s assumes
-    leading-batch layouts; this fleet is batch-minor)."""
-    from jax import lax
-
-    final, _ = lax.scan(lambda s, _: (step_fn(s), None), state, None, length=trips)
-    return final
-
-
 def _finalize(state: PSOBatchState, flip_sign: bool) -> SolverResult:
     f = state.swarm_best_value
     return make_result(
@@ -247,10 +232,11 @@ def minimize_batched(
 ) -> SolverResult:
     if keys is None:
         keys = jax.random.split(jax.random.key(0), x0.shape[0])
-    elif keys.shape[0] != x0.shape[0]:
+    elif keys.ndim == 0 or keys.shape[0] != x0.shape[0]:
         raise ValueError(
-            f"keys carries {keys.shape[0]} per-instance streams but x0 has "
-            f"{x0.shape[0]} instances"
+            "keys must carry one stream per instance: got "
+            f"{'a single unsplit key' if keys.ndim == 0 else keys.shape[0]}"
+            f" for {x0.shape[0]} instances (split with jax.random.split)"
         )
     sfn = signed(fn, _minimize)
     x0_cols = x0.T                              # [n, B]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core import Bounds, SolverResult, make_result, signed
+from ..core.driver import drive_fleet_scan  # noqa: F401  (bench entry point)
 from .sann import E_MINUS_1, SANNConfig
 
 
@@ -136,12 +137,6 @@ def step(fn, state: SANNBatchState, config: SANNConfig) -> SANNBatchState:
     )
 
 
-def drive_fleet_scan(step_fn, state: SANNBatchState, trips: int) -> SANNBatchState:
-    """Fixed-trip driver (benches): lane freezing happens inside step()."""
-    final, _ = lax.scan(lambda s, _: (step_fn(s), None), state, None, length=trips)
-    return final
-
-
 def _finalize(state: SANNBatchState, flip_sign: bool) -> SolverResult:
     f = state.best_value
     return make_result(
@@ -164,10 +159,11 @@ def minimize_batched(
 ) -> SolverResult:
     if keys is None:
         keys = jax.random.split(jax.random.key(0), x0.shape[0])
-    elif keys.shape[0] != x0.shape[0]:
+    elif keys.ndim == 0 or keys.shape[0] != x0.shape[0]:
         raise ValueError(
-            f"keys carries {keys.shape[0]} per-instance streams but x0 has "
-            f"{x0.shape[0]} instances"
+            "keys must carry one stream per instance: got "
+            f"{'a single unsplit key' if keys.ndim == 0 else keys.shape[0]}"
+            f" for {x0.shape[0]} instances (split with jax.random.split)"
         )
     sfn = signed(fn, _minimize)
     state = init(sfn, x0, config, keys)

@@ -197,7 +197,15 @@ def test_keys_width_mismatch_raises(key):
     p = PROBLEMS["sphere"]
     x0 = jnp.tile(jnp.full((2,), -0.5), (8, 1))
     bad = jax.random.split(key, 4)
-    with pytest.raises(ValueError, match="per-instance streams"):
+    with pytest.raises(ValueError, match="one stream per instance"):
         pso_batched.minimize_batched(p.fn, x0, PSOConfig(), keys=bad)
-    with pytest.raises(ValueError, match="per-instance streams"):
+    with pytest.raises(ValueError, match="one stream per instance"):
         sann_batched.minimize_batched(p.fn, x0, SANNConfig(), keys=bad)
+    from nlsolver_tpu.solvers import de_batched
+    from nlsolver_tpu.solvers.de import DEConfig
+
+    with pytest.raises(ValueError, match="one stream per instance"):
+        de_batched.minimize_batched(p.fn, x0, DEConfig(), keys=bad)
+    # the most likely misuse: a single UNSPLIT key
+    with pytest.raises(ValueError, match="single unsplit key"):
+        pso_batched.minimize_batched(p.fn, x0, PSOConfig(), keys=key)
