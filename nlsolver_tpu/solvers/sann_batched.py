@@ -115,22 +115,19 @@ def step(fn, state: SANNBatchState, config: SANNConfig) -> SANNBatchState:
         jnp.arange(n_inner),
     )
 
-    frozen = state.done | done_now
-
-    def keep(old, new):
-        m = frozen
-        while m.ndim < new.ndim:
-            m = m[None, ...]
-        return jnp.where(m, old, new)
-
+    # freeze finished lanes (same single-select pattern as the PSO/DE
+    # fleets; the [n, B] state here is small next to the 9-proposal inner
+    # loop, so this is consistency more than bandwidth)
+    act = ~(state.done | done_now)
+    a2 = act[None, :]
     return SANNBatchState(
-        p=keep(state.p, p),
-        f_p=keep(state.f_p, f_p),
-        x_best=keep(state.x_best, x_best),
-        best_value=keep(state.best_value, best_value),
-        iteration=keep(state.iteration, state.iteration + 1),
-        nfev=keep(state.nfev, state.nfev + n_inner),
-        keys=keep(state.keys, keys),
+        p=jnp.where(a2, p, state.p),
+        f_p=jnp.where(act, f_p, state.f_p),
+        x_best=jnp.where(a2, x_best, state.x_best),
+        best_value=jnp.where(act, best_value, state.best_value),
+        iteration=state.iteration + act.astype(jnp.int32),
+        nfev=state.nfev + n_inner * act.astype(jnp.int32),
+        keys=jnp.where(act, keys, state.keys),
         done=state.done | done_now,
         # SANN terminates only on max_iter (nlsolver.h:2787)
         converged=state.done | done_now,
