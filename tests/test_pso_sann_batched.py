@@ -209,3 +209,29 @@ def test_keys_width_mismatch_raises(key):
     # the most likely misuse: a single UNSPLIT key
     with pytest.raises(ValueError, match="single unsplit key"):
         pso_batched.minimize_batched(p.fn, x0, PSOConfig(), keys=key)
+
+
+def test_pso_step_compiles_gather_free(key):
+    """The engine's core design claim (module docstring): the per-instance
+    swarm-best extraction is gather-free (one-hot argmin + reduce), unlike
+    the row engine's vmapped dynamic-slice.  Asserted on the compiled HLO
+    so a future refactor cannot silently reintroduce the gather pathology
+    that regressed the row engine past B~2048."""
+    import re
+
+    p = PROBLEMS["rastrigin"]
+    B = 8
+    x0 = jnp.tile(jnp.full((3,), -0.5), (B, 1))
+    keys = jax.random.split(key, B)
+    lower, upper = pso_batched._derived_bounds(x0.T)
+    cfg = PSOConfig(n_particles=4)
+    state = pso_batched.init(p.fn, x0, cfg, keys, lower, upper)
+    hlo = (
+        jax.jit(lambda s: pso_batched.step(p.fn, s, cfg))
+        .lower(state)
+        .compile()
+        .as_text()
+    )
+    assert not re.findall(r"\bgather\(", hlo)
+    assert not re.findall(r"\bscatter\(", hlo)
+    assert "dynamic-slice(" not in hlo
